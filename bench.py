@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Headline benchmark: Cornell box 512x512, 8 bounces, 64 spp, standard
+integrator on the software (dense MXU) path — the driver's config #1
+(BASELINE.json). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+
+"Rays" counts actual traced visibility queries (path segments incl. NEE /
+MIS strategy rays), measured by the integrators' per-lane counters — not a
+pixels*spp*bounces upper bound.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    # NOTE: do NOT enable jax_compilation_cache_dir here — it deadlocks with
+    # the axon remote-compile backend used in this TPU sandbox.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lupinpathtracer_tpu.core.types import (
+        BakedPathtraceParams,
+        PathtraceDesc,
+        PathtraceType,
+    )
+    from lupinpathtracer_tpu.io import builtin
+    from lupinpathtracer_tpu.render import renderer, integrators
+    from lupinpathtracer_tpu.render.renderer import _camera_args
+    from lupinpathtracer_tpu.core import rng as rng_mod
+    from lupinpathtracer_tpu.render.camera import compute_camera_ray
+    from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
+
+    W = H = 512
+    SPP_PER_ACCUM = 8
+    ACCUMS = 8  # 64 accumulated spp total
+    BOUNCES = 8
+
+    scene, cams = builtin.build_scene_cornell_box()
+    tpu = build_scene_tpu(scene)
+    desc = PathtraceDesc()
+    desc.camera_transform = cams[0].transform
+    desc.camera_params = cams[0].params
+    desc.pathtrace_type = PathtraceType.STANDARD
+    desc.advanced.max_radiance = 10.0
+    baked = BakedPathtraceParams(max_bounces=BOUNCES, samples_per_pixel=SPP_PER_ACCUM)
+
+    # --- measure average traced rays per camera sample (one jitted probe) ---
+    cam = _camera_args(desc)
+
+    @jax.jit
+    def probe(scene):
+        xs = jnp.arange(W, dtype=jnp.int32)
+        ys = jnp.arange(H, dtype=jnp.int32)
+        gx = jnp.broadcast_to(xs[None, :], (H, W)).reshape(-1)
+        gy = jnp.broadcast_to(ys[:, None], (H, W)).reshape(-1)
+        pix = (gy * W + gx).astype(jnp.uint32)
+        state = rng_mod.init_state(pix, 0, 0, 0)
+        state, ox = rng_mod.next_f32(state)
+        state, oy = rng_mod.next_f32(state)
+        state, ro, rd = compute_camera_ray(
+            cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
+            cam["focus"], cam["aperture"], False,
+            jnp.stack([gx, gy], -1), (jnp.float32(W), jnp.float32(H)),
+            ox - 0.5, oy - 0.5, state,
+        )
+        ctx = integrators.make_ctx(scene, jnp.float32(1e-3))
+        _, _, _, n_traced = integrators.pathtrace(
+            scene, ctx, ro, rd, state, int(PathtraceType.STANDARD), BOUNCES
+        )
+        return jnp.sum(n_traced.astype(jnp.int64))
+
+    rays_per_spp = int(probe(tpu))
+
+    # --- timed render ---
+    image = renderer.new_accumulation_buffer(W, H)
+    desc.accum_params.accumulate = True
+    desc.accum_params.counter = 0
+    image = renderer.pathtrace_scene(tpu, image, desc, baked)  # warm-up/compile
+    image.block_until_ready()
+
+    t0 = time.time()
+    for i in range(1, ACCUMS + 1):
+        desc.accum_params.counter = i
+        image = renderer.pathtrace_scene(tpu, image, desc, baked)
+    image.block_until_ready()
+    dt = time.time() - t0
+
+    total_rays = rays_per_spp * SPP_PER_ACCUM * ACCUMS
+    mrays = total_rays / dt / 1e6
+    assert bool(np.isfinite(np.asarray(image)).all())
+
+    print(
+        json.dumps(
+            {
+                "metric": "cornellbox_512_8bounce_64spp_ray_throughput",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Golden-image regression runner.
+
+TPU-native rebuild of the `lupin_tests` binary (lupin_tests/src/main.rs):
+discovers `<dir>/<name>/<name>.json` scenes, renders every camera at the
+reference workload (~1080p aspect-fit area, 1000 samples = 10 spp x 100
+accumulations, 8 bounces, max_radiance 10; main.rs:29-33, :477-484) and
+compares against checked-in `render_camN.hdr` goldens. Differences:
+
+- headless (the reference opens a winit window; a TPU host has no surface);
+- the comparator reports both the reference's per-pixel RGB-distance
+  criterion (epsilon = 5.0, compare_textures.wgsl:19-25) and relative RMSE
+  (the driver's <1% target);
+- self-bootstrapping like the reference: missing goldens are rendered and
+  saved (main.rs:176-186), `--overwrite_renders` regenerates them.
+
+Usage:
+  python -m lupinpathtracer_tpu.apps.golden_test [--scenes DIR] [--scene NAME]
+      [--first_camera_only] [--overwrite_renders] [--samples N] [--scale S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+from ..core.types import BakedPathtraceParams, PathtraceDesc, PathtraceType
+from ..io import hdr as hdr_io
+from ..io import yocto_json
+from ..render import renderer
+from ..scene.flatten import build_scene_tpu
+
+EPSILON = 5.0  # lupin_tests/src/main.rs:35
+SAMPLES = 1000  # main.rs:29
+SPP_PER_PASS = 10  # main.rs:31
+BOUNCES = 8  # main.rs:32
+MAX_RADIANCE = 10.0  # main.rs:33
+RESOLUTION_TARGET = 1920 * 1080  # main.rs:477-484 (aspect-fit area)
+
+
+def camera_resolution(aspect: float, target_area: int = RESOLUTION_TARGET):
+    """Aspect-fit resolution (lupin_tests/src/main.rs:477-484)."""
+
+    w = math.sqrt(target_area * aspect)
+    return int(round(w)), int(round(w / aspect))
+
+
+def compare(render: np.ndarray, golden: np.ndarray):
+    """Returns (max RGB distance, relative RMSE)."""
+
+    diff = render[..., :3] - golden[..., :3]
+    dist = np.sqrt((diff**2).sum(-1))
+    rmse = float(np.sqrt((diff**2).mean()))
+    denom = float(np.sqrt((golden[..., :3] ** 2).mean())) or 1.0
+    return float(dist.max()), rmse / denom
+
+
+def run_scene(scene_dir, name, args):
+    json_path = os.path.join(scene_dir, f"{name}.json")
+    scene, cams = yocto_json.load_scene_yoctogl_v24(json_path)
+    tpu = build_scene_tpu(scene)
+    results = []
+    cams = cams[:1] if args.first_camera_only else cams
+    for ci, cam in enumerate(cams):
+        w, h = camera_resolution(cam.params.aspect)
+        w = max(8, int(w * args.scale))
+        h = max(8, int(h * args.scale))
+        desc = PathtraceDesc()
+        desc.camera_transform = cam.transform
+        desc.camera_params = cam.params
+        desc.pathtrace_type = PathtraceType.STANDARD
+        desc.advanced.max_radiance = MAX_RADIANCE
+        samples = args.samples
+        accums = max(1, samples // SPP_PER_PASS)
+        baked = BakedPathtraceParams(
+            max_bounces=BOUNCES, samples_per_pixel=SPP_PER_PASS
+        )
+        print(f"  {name} cam{ci}: {w}x{h} @ {accums * SPP_PER_PASS}spp",
+              flush=True)
+        img = renderer.render_progressive(tpu, desc, baked, w, h, accums)
+
+        golden_path = os.path.join(scene_dir, f"render_cam{ci}.hdr")
+        if args.scale != 1.0:
+            golden_path = os.path.join(
+                scene_dir, f"render_cam{ci}.hdr"
+            )  # compare against downsampled golden below
+        if not os.path.exists(golden_path) or args.overwrite_renders:
+            if args.scale == 1.0:
+                hdr_io.write_hdr(golden_path, img)
+                print(f"    bootstrapped golden {golden_path}")
+                results.append((name, ci, True, 0.0, 0.0))
+                continue
+            else:
+                print(f"    no golden for cam{ci}; skipped")
+                continue
+        golden = hdr_io.read_hdr(golden_path)
+        if golden.shape[:2] != img.shape[:2]:
+            golden = _resize_box(golden, img.shape[0], img.shape[1])
+        max_dist, rel_rmse = compare(img, golden)
+        ok = max_dist <= EPSILON and rel_rmse < args.rmse_threshold
+        results.append((name, ci, ok, max_dist, rel_rmse))
+        status = "OK" if ok else "FAIL"
+        print(f"    cam{ci}: max_dist={max_dist:.3f} rel_rmse={rel_rmse:.4f} "
+              f"[{status}]")
+        if not ok:
+            err_path = os.path.join(scene_dir, f"error_cam{ci}.hdr")
+            hdr_io.write_hdr(err_path, img)
+            print(f"    wrote {err_path}")
+    return results
+
+
+def _resize_box(img, h, w):
+    """Box-filter downsample for reduced-scale comparisons."""
+
+    ys = (np.arange(h) * img.shape[0] / h).astype(np.int64)
+    xs = (np.arange(w) * img.shape[1] / w).astype(np.int64)
+    fy = max(1, img.shape[0] // h)
+    fx = max(1, img.shape[1] // w)
+    out = np.zeros((h, w, img.shape[2]), np.float32)
+    for dy in range(fy):
+        for dx in range(fx):
+            out += img[
+                np.minimum(ys + dy, img.shape[0] - 1)[:, None],
+                np.minimum(xs + dx, img.shape[1] - 1)[None, :],
+            ]
+    return out / (fy * fx)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scenes", default="/root/reference/test_scenes")
+    p.add_argument("--scene", default=None, help="run one scene by name")
+    p.add_argument("--first_camera_only", action="store_true")  # main.rs:61-64
+    p.add_argument("--overwrite_renders", action="store_true")  # main.rs:65-68
+    p.add_argument("--samples", type=int, default=SAMPLES)
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="resolution scale (goldens are box-downsampled)")
+    p.add_argument("--rmse_threshold", type=float, default=0.01)
+    args = p.parse_args(argv)
+
+    names = (
+        [args.scene]
+        if args.scene
+        else sorted(
+            d
+            for d in os.listdir(args.scenes)
+            if os.path.isfile(os.path.join(args.scenes, d, f"{d}.json"))
+        )
+    )
+    all_results = []
+    for name in names:
+        print(f"scene {name}", flush=True)
+        all_results += run_scene(os.path.join(args.scenes, name), name, args)
+
+    failed = [r for r in all_results if not r[2]]
+    print()
+    if failed:
+        print(f"Failure: {len(failed)}/{len(all_results)} camera renders differ")
+        sys.exit(1)
+    print(f"Success: all {len(all_results)} camera renders match")
+
+
+if __name__ == "__main__":
+    main()

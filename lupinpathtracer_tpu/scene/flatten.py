@@ -54,6 +54,17 @@ class SceneTPU:
     envs_empty: bool = struct.field(pytree_node=False)
     lights_empty: bool = struct.field(pytree_node=False)
     instances_empty: bool = struct.field(pytree_node=False)
+    # Static feature flags: the reference compiles one WGSL megakernel with
+    # every material branch; under XLA we instead specialize the executable
+    # to the material/attribute set the scene actually uses (the analog of
+    # its override-constant pipeline bake, renderer.rs:451-468).
+    present_mat_types: tuple = struct.field(pytree_node=False)
+    any_uv: bool = struct.field(pytree_node=False)
+    any_vert_normals: bool = struct.field(pytree_node=False)
+    any_vert_colors: bool = struct.field(pytree_node=False)
+    any_normal_maps: bool = struct.field(pytree_node=False)
+    any_volumetric: bool = struct.field(pytree_node=False)
+    any_delta: bool = struct.field(pytree_node=False)
 
     # --- mesh-level arrays (concatenated over meshes) ---
     verts_pos: jnp.ndarray  # (V,3) f32
@@ -71,13 +82,35 @@ class SceneTPU:
     inst_normal_mat: jnp.ndarray  # (I,3,3) f32 inverse-transpose linear part
     inst_mesh: jnp.ndarray  # (I,) i32
     inst_mat: jnp.ndarray  # (I,) i32
+    # sign(det(linear part)): intersection runs in world space, so the
+    # object-space determinant the reference uses for hit_backside
+    # (bvh_custom.wgsl:106) differs by this sign when a transform mirrors
+    # (the left-handed conversion C = diag(1,1,-1) always does).
+    inst_det_sign: jnp.ndarray  # (I,) f32
 
     # --- world-space triangle soup (BVH-reordered, padded) ---
+    # Everything a hit needs is baked per-triangle at flatten time so the
+    # shading stage is one gather per attribute instead of the reference's
+    # index->vertex->instance->matrix chain (pathtracer.wgsl:1729-1770):
     wt_v0: jnp.ndarray  # (Tw,3) f32
     wt_e1: jnp.ndarray  # (Tw,3) f32
     wt_e2: jnp.ndarray  # (Tw,3) f32
     wt_inst: jnp.ndarray  # (Tw,) i32
     wt_tri: jnp.ndarray  # (Tw,) i32 global triangle id into tri_indices
+    wt_mat: jnp.ndarray  # (Tw,) i32 material id
+    wt_n0: jnp.ndarray  # (Tw,3) world-space vertex normals (normal-matrix
+    wt_n1: jnp.ndarray  # applied, unnormalized — interpolation commutes)
+    wt_n2: jnp.ndarray
+    wt_gn: jnp.ndarray  # (Tw,3) geometric normal (reference orientation)
+    wt_uv0: jnp.ndarray  # (Tw,2)
+    wt_uv1: jnp.ndarray
+    wt_uv2: jnp.ndarray
+    wt_has_uv: jnp.ndarray  # (Tw,) i32
+    wt_c0: jnp.ndarray  # (Tw,4) vertex colors (ones when absent)
+    wt_c1: jnp.ndarray
+    wt_c2: jnp.ndarray
+    wt_tan: jnp.ndarray  # (Tw,3) world tangent (for normal mapping)
+    wt_bit: jnp.ndarray  # (Tw,3) world bitangent
 
     # --- world BVH (single node when dense mode) ---
     bvh_min: jnp.ndarray  # (N,3) f32
@@ -197,45 +230,128 @@ def build_scene_tpu(
     inst_nrm = np.zeros((max(ni, 1), 3, 3), np.float32)
     inst_mesh = np.zeros(max(ni, 1), np.int32)
     inst_mat = np.zeros(max(ni, 1), np.int32)
+    inst_det_sign = np.ones(max(ni, 1), np.float32)
     for i, inst in enumerate(scene.instances):
         inst_fwd[i] = inst.frame
         inst_inv[i] = math3d.frame_inverse(inst.frame)
         inst_nrm[i] = math3d.normal_matrix(inst.frame)
         inst_mesh[i] = inst.mesh_idx
         inst_mat[i] = inst.mat_idx
+        d = float(np.linalg.det(inst.frame[:, :3].astype(np.float64)))
+        inst_det_sign[i] = -1.0 if d < 0.0 else 1.0
 
-    # ---- world-space triangle soup ----
-    wt_v0_l, wt_e1_l, wt_e2_l, wt_inst_l, wt_tri_l = [], [], [], [], []
+    # ---- world-space triangle soup with baked per-tri shading attributes ----
+    def _nrm(a):
+        return a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-20)
+
+    cols = {
+        k: []
+        for k in (
+            "v0", "e1", "e2", "inst", "tri", "mat",
+            "n0", "n1", "n2", "gn",
+            "uv0", "uv1", "uv2", "has_uv",
+            "c0", "c1", "c2", "tan", "bit",
+        )
+    }
     for i, inst in enumerate(scene.instances):
         m = scene.meshes[inst.mesh_idx]
-        if m.indices.shape[0] == 0:
+        nt_mesh = m.indices.shape[0]
+        if nt_mesh == 0:
             continue
         wp = math3d.transform_points(inst.frame, m.positions)
         tri = m.indices.astype(np.int64)
         v0 = wp[tri[:, 0]]
         v1 = wp[tri[:, 1]]
         v2 = wp[tri[:, 2]]
-        wt_v0_l.append(v0)
-        wt_e1_l.append(v1 - v0)
-        wt_e2_l.append(v2 - v0)
-        wt_inst_l.append(np.full(tri.shape[0], i, np.int32))
-        wt_tri_l.append(
-            (np.arange(tri.shape[0], dtype=np.int64) + t_off[inst.mesh_idx]).astype(
-                np.int32
-            )
+        cols["v0"].append(v0)
+        cols["e1"].append(v1 - v0)
+        cols["e2"].append(v2 - v0)
+        cols["inst"].append(np.full(nt_mesh, i, np.int32))
+        cols["tri"].append(
+            (np.arange(nt_mesh, dtype=np.int64) + t_off[inst.mesh_idx]).astype(np.int32)
         )
-    if wt_v0_l:
-        wt_v0 = np.concatenate(wt_v0_l).astype(np.float32)
-        wt_e1 = np.concatenate(wt_e1_l).astype(np.float32)
-        wt_e2 = np.concatenate(wt_e2_l).astype(np.float32)
-        wt_inst = np.concatenate(wt_inst_l)
-        wt_tri = np.concatenate(wt_tri_l)
-    else:
-        wt_v0 = np.zeros((0, 3), np.float32)
-        wt_e1 = np.zeros((0, 3), np.float32)
-        wt_e2 = np.zeros((0, 3), np.float32)
-        wt_inst = np.zeros(0, np.int32)
-        wt_tri = np.zeros(0, np.int32)
+        cols["mat"].append(np.full(nt_mesh, inst.mat_idx, np.int32))
+
+        nrm_mat = math3d.normal_matrix(inst.frame)
+        p0 = m.positions[tri[:, 0]]
+        p1 = m.positions[tri[:, 1]]
+        p2 = m.positions[tri[:, 2]]
+        # compute_tri_geom_normal (pathtracer.wgsl:2561-2576): object-space
+        # cross(v2-v0, v1-v0) through the inverse-transpose.
+        gn = _nrm(_nrm(np.cross(p2 - p0, p1 - p0)) @ nrm_mat.T)
+        cols["gn"].append(gn)
+        if m.normals is not None:
+            nw = m.normals[:, :3] @ nrm_mat.T  # unnormalized; interp commutes
+            cols["n0"].append(nw[tri[:, 0]])
+            cols["n1"].append(nw[tri[:, 1]])
+            cols["n2"].append(nw[tri[:, 2]])
+        else:
+            cols["n0"].append(gn)
+            cols["n1"].append(gn)
+            cols["n2"].append(gn)
+        if m.texcoords is not None:
+            cols["uv0"].append(m.texcoords[tri[:, 0]])
+            cols["uv1"].append(m.texcoords[tri[:, 1]])
+            cols["uv2"].append(m.texcoords[tri[:, 2]])
+            cols["has_uv"].append(np.ones(nt_mesh, np.int32))
+            # Per-tri tangent frame (pathtracer.wgsl:1692-1727).
+            t0 = m.texcoords[tri[:, 0]]
+            t1 = m.texcoords[tri[:, 1]]
+            t2 = m.texcoords[tri[:, 2]]
+            p = p1 - p0
+            q = p2 - p0
+            sx = t1[:, 0] - t0[:, 0]
+            sy = t2[:, 0] - t0[:, 0]
+            tx = t1[:, 1] - t0[:, 1]
+            ty = t2[:, 1] - t0[:, 1]
+            div = sx * ty - sy * tx
+            safe = np.where(div != 0.0, div, 1.0)[:, None]
+            tan_l = np.where(
+                (div != 0.0)[:, None],
+                (ty[:, None] * p - tx[:, None] * q) / safe,
+                np.array([1.0, 0.0, 0.0], np.float32),
+            )
+            bit_l = np.where(
+                (div != 0.0)[:, None],
+                (sx[:, None] * q - sy[:, None] * p) / safe,
+                np.array([0.0, 1.0, 0.0], np.float32),
+            )
+            cols["tan"].append(_nrm(tan_l @ nrm_mat.T))
+            cols["bit"].append(_nrm(bit_l @ nrm_mat.T))
+        else:
+            cols["uv0"].append(np.zeros((nt_mesh, 2), np.float32))
+            cols["uv1"].append(np.zeros((nt_mesh, 2), np.float32))
+            cols["uv2"].append(np.zeros((nt_mesh, 2), np.float32))
+            cols["has_uv"].append(np.zeros(nt_mesh, np.int32))
+            cols["tan"].append(_nrm(np.broadcast_to(nrm_mat.T[0], (nt_mesh, 3))))
+            cols["bit"].append(_nrm(np.broadcast_to(nrm_mat.T[1], (nt_mesh, 3))))
+        if m.colors is not None:
+            cols["c0"].append(m.colors[tri[:, 0]])
+            cols["c1"].append(m.colors[tri[:, 1]])
+            cols["c2"].append(m.colors[tri[:, 2]])
+        else:
+            cols["c0"].append(np.ones((nt_mesh, 4), np.float32))
+            cols["c1"].append(np.ones((nt_mesh, 4), np.float32))
+            cols["c2"].append(np.ones((nt_mesh, 4), np.float32))
+
+    def _cat(name, width, dtype=np.float32):
+        if cols[name]:
+            return np.concatenate(cols[name]).astype(dtype)
+        shape = (0,) if width == 0 else (0, width)
+        return np.zeros(shape, dtype)
+
+    wt = {
+        "v0": _cat("v0", 3), "e1": _cat("e1", 3), "e2": _cat("e2", 3),
+        "inst": _cat("inst", 0, np.int32), "tri": _cat("tri", 0, np.int32),
+        "mat": _cat("mat", 0, np.int32),
+        "n0": _cat("n0", 3), "n1": _cat("n1", 3), "n2": _cat("n2", 3),
+        "gn": _cat("gn", 3),
+        "uv0": _cat("uv0", 2), "uv1": _cat("uv1", 2), "uv2": _cat("uv2", 2),
+        "has_uv": _cat("has_uv", 0, np.int32),
+        "c0": _cat("c0", 4), "c1": _cat("c1", 4), "c2": _cat("c2", 4),
+        "tan": _cat("tan", 3), "bit": _cat("bit", 3),
+    }
+    wt_v0, wt_e1, wt_e2 = wt["v0"], wt["e1"], wt["e2"]
     Tw = wt_v0.shape[0]
 
     # ---- lights + alias tables (object-space areas, data_structures.rs:20-113) ----
@@ -323,11 +439,8 @@ def build_scene_tpu(
         lo, hi = bvh_mod.tri_bounds(wt_v0, wt_v0 + wt_e1, wt_v0 + wt_e2)
         tree = bvh_mod.build_bvh(lo, hi, max_leaf_size=bvh_leaf_size)
         order = tree.order.astype(np.int64)
-        wt_v0 = wt_v0[order]
-        wt_e1 = wt_e1[order]
-        wt_e2 = wt_e2[order]
-        wt_inst = wt_inst[order]
-        wt_tri = wt_tri[order]
+        for k in wt:
+            wt[k] = wt[k][order]
         bvh_min, bvh_max = tree.aabb_min, tree.aabb_max
         bvh_first, bvh_count = tree.first_or_begin, tree.tri_count
         bvh_depth = tree.depth
@@ -341,11 +454,9 @@ def build_scene_tpu(
     # Pad the triangle soup: to a lane multiple for the dense MXU kernel, plus
     # slack so leaf-block gathers (begin + leaf_size) never run off the end.
     pad_to = max(((Tw + 127) // 128) * 128, 128) + bvh_leaf_size
-    wt_v0 = _pad_rows(wt_v0, pad_to)
-    wt_e1 = _pad_rows(wt_e1, pad_to)
-    wt_e2 = _pad_rows(wt_e2, pad_to)
-    wt_inst = _pad_rows(wt_inst, pad_to)
-    wt_tri = _pad_rows(wt_tri, pad_to)
+    for k in wt:
+        wt[k] = _pad_rows(wt[k], pad_to)
+    wt_v0, wt_e1, wt_e2 = wt["v0"], wt["e1"], wt["e2"]
 
     # ---- materials ----
     mat_color = np.zeros((max(nmat, 1), 4), np.float32)
@@ -412,6 +523,31 @@ def build_scene_tpu(
         if mesh.colors is not None and float(mesh.colors[:, 3].min()) < 1.0:
             has_alpha = True
 
+    # ---- static feature flags over materials/meshes actually used ----
+    from ..core.types import MaterialType as MT
+
+    used_mats = {inst.mat_idx for inst in scene.instances}
+    used_meshes = {inst.mesh_idx for inst in scene.instances}
+    present_types = sorted(
+        {int(scene.materials[m].mat_type) for m in used_mats}
+    ) or [int(MT.MATTE)]
+    any_uv = any(scene.meshes[m].texcoords is not None for m in used_meshes)
+    any_vn = any(scene.meshes[m].normals is not None for m in used_meshes)
+    any_vc = any(scene.meshes[m].colors is not None for m in used_meshes)
+    any_nm = any_uv and any(
+        (int(scene.materials[m].normal_tex_idx) & 0xFFFFFFFF) != 0xFFFFFFFF
+        for m in used_mats
+    )
+    vol_types = {int(MT.REFRACTIVE), int(MT.VOLUMETRIC), int(MT.SUBSURFACE)}
+    any_vol = bool(vol_types & set(present_types))
+    delta_types = {
+        int(MT.REFLECTIVE),
+        int(MT.REFRACTIVE),
+        int(MT.TRANSPARENT),
+        int(MT.VOLUMETRIC),
+    }
+    any_delta = bool(delta_types & set(present_types))
+
     def dev(x, dtype=None):
         a = np.asarray(x)
         if dtype is not None:
@@ -443,6 +579,13 @@ def build_scene_tpu(
         envs_empty=ne == 0,
         lights_empty=nl == 0,
         instances_empty=ni == 0 or Tw == 0,
+        present_mat_types=tuple(present_types),
+        any_uv=bool(any_uv),
+        any_vert_normals=bool(any_vn),
+        any_vert_colors=bool(any_vc),
+        any_normal_maps=bool(any_nm),
+        any_volumetric=bool(any_vol),
+        any_delta=bool(any_delta),
         verts_pos=dev(verts_pos),
         verts_normal=dev(verts_normal),
         verts_uv=dev(verts_uv),
@@ -456,11 +599,26 @@ def build_scene_tpu(
         inst_normal_mat=dev(inst_nrm),
         inst_mesh=dev(inst_mesh),
         inst_mat=dev(inst_mat),
-        wt_v0=dev(wt_v0),
-        wt_e1=dev(wt_e1),
-        wt_e2=dev(wt_e2),
-        wt_inst=dev(wt_inst),
-        wt_tri=dev(wt_tri),
+        inst_det_sign=dev(inst_det_sign),
+        wt_v0=dev(wt["v0"]),
+        wt_e1=dev(wt["e1"]),
+        wt_e2=dev(wt["e2"]),
+        wt_inst=dev(wt["inst"]),
+        wt_tri=dev(wt["tri"]),
+        wt_mat=dev(wt["mat"]),
+        wt_n0=dev(wt["n0"]),
+        wt_n1=dev(wt["n1"]),
+        wt_n2=dev(wt["n2"]),
+        wt_gn=dev(wt["gn"]),
+        wt_uv0=dev(wt["uv0"]),
+        wt_uv1=dev(wt["uv1"]),
+        wt_uv2=dev(wt["uv2"]),
+        wt_has_uv=dev(wt["has_uv"]),
+        wt_c0=dev(wt["c0"]),
+        wt_c1=dev(wt["c1"]),
+        wt_c2=dev(wt["c2"]),
+        wt_tan=dev(wt["tan"]),
+        wt_bit=dev(wt["bit"]),
         bvh_min=dev(bvh_min),
         bvh_max=dev(bvh_max),
         bvh_first=dev(bvh_first, np.int32),

@@ -7,7 +7,9 @@ real chip outside pytest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set: the sandbox exports JAX_PLATFORMS=axon (TPU tunnel); tests
+# must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
