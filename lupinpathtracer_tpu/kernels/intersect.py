@@ -328,7 +328,13 @@ def count_traversal(scene, ro, rd, eps):
 # ---------------------------------------------------------------------------
 
 
-USE_PALLAS_DENSE = True
+def _use_pallas() -> bool:
+    """Pallas path on TPU; the chunked jnp formulation on CPU (interpret-mode
+    Pallas is an order of magnitude slower there and tests run on CPU)."""
+
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def scene_tri_matrix(scene) -> jnp.ndarray:
@@ -356,7 +362,7 @@ def closest_hit(scene, ro, rd, eps, W: jnp.ndarray | None = None) -> HitInfo:
     else:
         if W is None:
             W = scene_tri_matrix(scene)
-        if USE_PALLAS_DENSE:
+        if _use_pallas():
             from .pallas_intersect import dense_closest_hit_pallas
 
             t, u, v, det, idx = dense_closest_hit_pallas(W, ro, rd, eps)
@@ -369,3 +375,35 @@ def closest_hit(scene, ro, rd, eps, W: jnp.ndarray | None = None) -> HitInfo:
             )
     flip = scene.inst_det_sign[scene.wt_inst[h.tri]] < 0.0
     return h.replace(backside=jnp.where(flip, ~h.backside, h.backside))
+
+
+def closest_hit_attrs(scene, ro, rd, eps, W: jnp.ndarray | None = None):
+    """Dense-mode closest hit returning (HitInfo, packed attrs (B, AW)).
+
+    The attrs row is fetched in-kernel (one-hot MXU select), eliminating all
+    per-hit shading gathers. Falls back to (closest_hit, None) when the
+    scene traverses the BVH (attrs come from gathers there)."""
+
+    if scene.instances_empty or scene.use_bvh or not _use_pallas():
+        return closest_hit(scene, ro, rd, eps, W=W), None
+    from .pallas_intersect import (
+        ATTR_DET_SIGN,
+        dense_closest_hit_attrs_pallas,
+    )
+
+    if W is None:
+        W = scene_tri_matrix(scene)
+    t, u, v, det, idx, attr = dense_closest_hit_attrs_pallas(
+        W, scene.wt_attr, ro, rd, eps
+    )
+    backside = det > 0.0
+    flip = attr[:, ATTR_DET_SIGN] < 0.0
+    h = HitInfo(
+        hit=t < F32_MAX,
+        dst=t,
+        u=u,
+        v=v,
+        tri=idx,
+        backside=jnp.where(flip, ~backside, backside),
+    )
+    return h, attr

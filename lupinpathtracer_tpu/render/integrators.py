@@ -65,36 +65,47 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
     through lanes whose opacity test fails, accumulating distance. Gated by
     the static has_alpha flag — opaque scenes pay exactly one intersection."""
 
-    hit = intersect.closest_hit(scene, ro, rd, ctx["eps"], W=ctx["W"])
+    hit, attrs = intersect.closest_hit_attrs(scene, ro, rd, ctx["eps"], W=ctx["W"])
     if not scene.has_alpha:
-        return hit, state
+        return hit, attrs, state
 
-    mp = get_material_point(scene, hit)
+    mp = get_material_point(scene, hit, attrs)
     state, r0 = rng_mod.next_f32(state)
     recast0 = mask & hit.hit & (mp.opacity < 1.0) & (r0 >= mp.opacity)
 
     def cond(c):
         return jnp.any(c["recast"]) & (c["i"] < MAX_OPACITY_BOUNCES - 1)
 
-    def body(c):
-        nh = intersect.closest_hit(scene, c["ro"], rd, ctx["eps"], W=ctx["W"])
-        h = jax.tree.map(
-            lambda new, old: jnp.where(
-                c["recast"] if new.ndim == 1 else c["recast"][:, None], new, old
+    def merge(recast, new, old):
+        if new is None:
+            return None
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                recast if a.ndim == 1 else recast[:, None], a, b
             ),
-            nh,
-            c["hit"],
+            new,
+            old,
         )
+
+    def body(c):
+        nh, nat = intersect.closest_hit_attrs(
+            scene, c["ro"], rd, ctx["eps"], W=ctx["W"]
+        )
+        h = merge(c["recast"], nh, c["hit"])
+        at = merge(c["recast"], nat, c["attrs"])
         dst_acc = jnp.where(c["recast"], c["dst_acc"] + nh.dst, c["dst_acc"])
-        mp2 = get_material_point(scene, h)
+        mp2 = get_material_point(scene, h, at)
         state2, r = rng_mod.next_f32(c["state"])
         pass_through = (mp2.opacity < 1.0) & (r >= mp2.opacity)
         recast = c["recast"] & h.hit & pass_through
         ro2 = jnp.where(recast[:, None], c["ro"] + rd * nh.dst[:, None], c["ro"])
-        return dict(
+        out = dict(
             ro=ro2, hit=h, dst_acc=dst_acc, recast=recast, state=state2,
             i=c["i"] + 1,
         )
+        if at is not None:
+            out["attrs"] = at
+        return out
 
     init = dict(
         ro=jnp.where(recast0[:, None], ro + rd * hit.dst[:, None], ro),
@@ -104,10 +115,27 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
         state=state,
         i=jnp.int32(0),
     )
-    c = jax.lax.while_loop(cond, body, init)
+    if attrs is not None:
+        init["attrs"] = attrs
+
+        def cond2(c):
+            return jnp.any(c["recast"]) & (c["i"] < MAX_OPACITY_BOUNCES - 1)
+
+        c = jax.lax.while_loop(cond2, body, init)
+        h = c["hit"]
+        return h.replace(dst=c["dst_acc"]), c["attrs"], c["state"]
+
+    def body_noattrs(c):
+        c = dict(c)
+        c["attrs"] = None
+        out = body(c)
+        out.pop("attrs", None)
+        return out
+
+    c = jax.lax.while_loop(cond, body_noattrs, init)
     h = c["hit"]
     # Distance stays relative to the ORIGINAL origin (bvh_custom.wgsl:176-178).
-    return h.replace(dst=c["dst_acc"]), c["state"]
+    return h.replace(dst=c["dst_acc"]), None, c["state"]
 
 
 def _sample_surface_common(scene, ctx, mp, normal, outgoing, hit_pos, state, use_nee):
@@ -205,7 +233,7 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         next_emission = c["next_emission"]
 
         n_traced = c["n_traced"] + alive.astype(jnp.int32)
-        hit, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive)
+        hit, attrs, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive)
 
         # Miss: environment (pathtrace_direct gates on next_emission,
         # pathtracer.wgsl:1075-1080; standard/naive add unconditionally).
@@ -234,8 +262,8 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         surf = alive & ~in_volume
 
         outgoing = -rd
-        mp = get_material_point(scene, hit)
-        normal = compute_shading_normal(scene, hit)
+        mp = get_material_point(scene, hit, attrs)
+        normal = compute_shading_normal(scene, hit, attrs)
         pos_surf = ro + rd * hit.dst[:, None]
         pos_vol = ro + rd * vdst[:, None] if scene.any_volumetric else pos_surf
 
@@ -256,8 +284,10 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             lf = bsdf.eval_bsdfcos(mp, normal, outgoing, ldir, scene.present_mat_types)
             do_l = nd & _any3(lf) & (lpdf > 0.0)
             n_traced = n_traced + nd.astype(jnp.int32)
-            lhit = intersect.closest_hit(scene, pos_surf, ldir, ctx["eps"], W=ctx["W"])
-            l_em = get_material_point(scene, lhit).emission
+            lhit, lattrs = intersect.closest_hit_attrs(
+                scene, pos_surf, ldir, ctx["eps"], W=ctx["W"]
+            )
+            l_em = get_material_point(scene, lhit, lattrs).emission
             if not scene.envs_empty:
                 l_em = jnp.where(
                     lhit.hit[:, None], l_em, lights.sample_environments(scene, ldir)
@@ -402,7 +432,9 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         # Alpha skip applies only when the previous bounce requested a fresh
         # emission-carrying ray (pathtracer.wgsl:751-756).
         n_traced = c["n_traced"] + alive.astype(jnp.int32)
-        hit, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive & next_emission)
+        hit, attrs, state = ray_skip_alpha(
+            scene, ctx, ro, rd, state, alive & next_emission
+        )
 
         miss_m = alive & ~hit.hit
         if not scene.envs_empty:
@@ -427,8 +459,8 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         surf = alive & ~in_volume
 
         outgoing = -rd
-        mp = get_material_point(scene, hit)
-        normal = compute_shading_normal(scene, hit)
+        mp = get_material_point(scene, hit, attrs)
+        normal = compute_shading_normal(scene, hit, attrs)
         pos_surf = ro + rd * hit.dst[:, None]
         pos_vol = ro + rd * vdst[:, None] if scene.any_volumetric else pos_surf
 
@@ -459,8 +491,10 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
             # Reference gate: all(bsdfcos != 0) && mis_weight != 0
             # (pathtracer.wgsl:790).
             go = active & jnp.all(f != 0.0, axis=-1) & (mw != 0.0)
-            mhit = intersect.closest_hit(scene, pos_surf, mdir, ctx["eps"], W=ctx["W"])
-            em = get_material_point(scene, mhit).emission
+            mhit, mattrs = intersect.closest_hit_attrs(
+                scene, pos_surf, mdir, ctx["eps"], W=ctx["W"]
+            )
+            em = get_material_point(scene, mhit, mattrs).emission
             if not scene.envs_empty:
                 em = jnp.where(
                     mhit.hit[:, None], em, lights.sample_environments(scene, mdir)

@@ -48,32 +48,75 @@ def _normalize(v, eps=1e-20):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
-def hit_texcoords(scene, hit):
+def hit_texcoords(scene, hit, attrs=None):
     """Interpolated UVs + per-lane availability flag."""
 
     B = hit.u.shape[0]
     if not scene.any_uv:
         return jnp.zeros((B, 2), jnp.float32), jnp.zeros(B, bool)
+    if attrs is not None:
+        from ..kernels import pallas_intersect as pk
+
+        uv = _interp2(
+            attrs[:, pk.ATTR_UV0],
+            attrs[:, pk.ATTR_UV1],
+            attrs[:, pk.ATTR_UV2],
+            hit.u,
+            hit.v,
+        )
+        return uv, attrs[:, pk.ATTR_HAS_UV] > 0
     t = hit.tri
     uv = _interp2(scene.wt_uv0[t], scene.wt_uv1[t], scene.wt_uv2[t], hit.u, hit.v)
     return uv, scene.wt_has_uv[t] > 0
 
 
-def get_material_point(scene, hit) -> MaterialPoint:
-    t = hit.tri
-    mat = scene.wt_mat[t]
-    uv, has_uv = hit_texcoords(scene, hit)
+def _mat_fields(scene, hit, attrs):
+    """Per-lane material row: from the packed attrs when available (dense
+    Pallas path), else via gathers (BVH path)."""
+
+    if attrs is not None:
+        from ..kernels import pallas_intersect as pk
+
+        return dict(
+            base_color=attrs[:, pk.ATTR_MAT_COLOR],
+            emission=attrs[:, pk.ATTR_MAT_EMISSION],
+            scattering=attrs[:, pk.ATTR_MAT_SCATTERING],
+            mtype=attrs[:, pk.ATTR_MAT_TYPE].astype(jnp.int32),
+            roughness=attrs[:, pk.ATTR_MAT_ROUGHNESS],
+            metallic=attrs[:, pk.ATTR_MAT_METALLIC],
+            ior=attrs[:, pk.ATTR_MAT_IOR],
+            aniso=attrs[:, pk.ATTR_MAT_ANISO],
+            tr_depth=attrs[:, pk.ATTR_MAT_TRDEPTH],
+            tex=attrs[:, pk.ATTR_MAT_TEX].astype(jnp.int32),
+        )
+    mat = scene.wt_mat[hit.tri]
+    return dict(
+        base_color=scene.mat_color[mat],
+        emission=scene.mat_emission[mat],
+        scattering=scene.mat_scattering[mat],
+        mtype=scene.mat_type[mat],
+        roughness=scene.mat_roughness[mat],
+        metallic=scene.mat_metallic[mat],
+        ior=scene.mat_ior[mat],
+        aniso=scene.mat_sc_anisotropy[mat],
+        tr_depth=scene.mat_tr_depth[mat],
+        tex=scene.mat_tex[mat],
+    )
+
+
+def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
+    mf = _mat_fields(scene, hit, attrs)
+    uv, has_uv = hit_texcoords(scene, hit, attrs)
 
     u, v = uv[:, 0], uv[:, 1]
     use_tex = scene.num_textures > 0 and scene.any_uv  # static gate
-    tex = scene.mat_tex[mat] if use_tex else None
 
     def tex_sample(slot):
         # Texture fetches only apply when the mesh has texcoords
         # (pathtracer.wgsl:1285-1311).
         if not use_tex:
             return jnp.ones((u.shape[0], 4), jnp.float32)
-        ti = jnp.where(has_uv, tex[:, slot], -1)
+        ti = jnp.where(has_uv, mf["tex"][:, slot], -1)
         return sample_texture(scene, ti, u, v)
 
     color_sample = tex_sample(0)
@@ -88,20 +131,32 @@ def get_material_point(scene, hit) -> MaterialPoint:
     scattering_sample = tex_sample(3)[:, :3]
 
     if scene.any_vert_colors:
-        vert_color = _interp2(
-            scene.wt_c0[t], scene.wt_c1[t], scene.wt_c2[t], hit.u, hit.v
-        )
+        if attrs is not None:
+            from ..kernels import pallas_intersect as pk
+
+            vert_color = _interp2(
+                attrs[:, pk.ATTR_C0],
+                attrs[:, pk.ATTR_C1],
+                attrs[:, pk.ATTR_C2],
+                hit.u,
+                hit.v,
+            )
+        else:
+            t = hit.tri
+            vert_color = _interp2(
+                scene.wt_c0[t], scene.wt_c1[t], scene.wt_c2[t], hit.u, hit.v
+            )
     else:
         vert_color = jnp.ones((u.shape[0], 4), jnp.float32)
 
-    base_color = scene.mat_color[mat]
-    mtype = scene.mat_type[mat]
+    base_color = mf["base_color"]
+    mtype = mf["mtype"]
     color = color_sample[:, :3] * base_color[:, :3] * vert_color[:, :3]
     opacity = color_sample[:, 3] * base_color[:, 3] * vert_color[:, 3]
-    emission = emission_sample * scene.mat_emission[mat]
-    roughness = roughness_sample * scene.mat_roughness[mat]
+    emission = emission_sample * mf["emission"]
+    roughness = roughness_sample * mf["roughness"]
     roughness = roughness * roughness
-    tr_depth = scene.mat_tr_depth[mat]
+    tr_depth = mf["tr_depth"]
     if scene.any_volumetric:
         is_dense_medium = (
             (mtype == MaterialType.REFRACTIVE)
@@ -115,8 +170,8 @@ def get_material_point(scene, hit) -> MaterialPoint:
         )
     else:
         density = jnp.zeros_like(color)
-    scattering = scattering_sample * scene.mat_scattering[mat]
-    metallic = metallic_sample * scene.mat_metallic[mat]
+    scattering = scattering_sample * mf["scattering"]
+    metallic = metallic_sample * mf["metallic"]
 
     # Roughness cleanup rules (pathtracer.wgsl:1330-1339).
     clamped = (
@@ -141,10 +196,10 @@ def get_material_point(scene, hit) -> MaterialPoint:
         opacity=opacity,
         roughness=roughness,
         metallic=metallic,
-        ior=scene.mat_ior[mat],
+        ior=mf["ior"],
         density=density,
         scattering=scattering,
-        sc_anisotropy=scene.mat_sc_anisotropy[mat],
+        sc_anisotropy=mf["aniso"],
         tr_depth=tr_depth,
     )
 
@@ -155,22 +210,44 @@ def geometric_normal(scene, hit):
     return scene.wt_gn[hit.tri]
 
 
-def compute_shading_normal(scene, hit):
+def compute_shading_normal(scene, hit, attrs=None):
     """compute_shading_normal (pathtracer.wgsl:1344-1384): interpolate baked
     world-space vertex normals; optional UV-tangent-frame normal mapping."""
 
-    t = hit.tri
-    n = _normalize(
-        _interp2(scene.wt_n0[t], scene.wt_n1[t], scene.wt_n2[t], hit.u, hit.v)
-    )
+    if attrs is not None:
+        from ..kernels import pallas_intersect as pk
+
+        n = _normalize(
+            _interp2(
+                attrs[:, pk.ATTR_N0],
+                attrs[:, pk.ATTR_N1],
+                attrs[:, pk.ATTR_N2],
+                hit.u,
+                hit.v,
+            )
+        )
+    else:
+        t = hit.tri
+        n = _normalize(
+            _interp2(scene.wt_n0[t], scene.wt_n1[t], scene.wt_n2[t], hit.u, hit.v)
+        )
 
     if scene.any_normal_maps:  # statically absent without normal maps
-        uv, has_uv = hit_texcoords(scene, hit)
-        mat = scene.wt_mat[t]
-        ntex = jnp.where(has_uv, scene.mat_tex[mat][:, 4], -1)
+        from ..kernels import pallas_intersect as pk
+
+        uv, has_uv = hit_texcoords(scene, hit, attrs)
+        if attrs is not None:
+            ntex = jnp.where(
+                has_uv, attrs[:, pk.ATTR_MAT_TEX][:, 4].astype(jnp.int32), -1
+            )
+            tangent = attrs[:, pk.ATTR_TAN]
+            bitangent = attrs[:, pk.ATTR_BIT]
+        else:
+            t = hit.tri
+            ntex = jnp.where(has_uv, scene.mat_tex[scene.wt_mat[t]][:, 4], -1)
+            tangent = scene.wt_tan[t]
+            bitangent = scene.wt_bit[t]
         use_nm = ntex >= 0
-        tangent = scene.wt_tan[t]
-        bitangent = scene.wt_bit[t]
         nm_sample = sample_texture(scene, ntex, uv[:, 0], uv[:, 1])[:, :3]
         n_tex = -1.0 + 2.0 * nm_sample
         # Orthonormal frame: t' = orthonormalize(t, n), b' = normalize(n x t')

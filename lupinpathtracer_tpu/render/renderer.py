@@ -212,11 +212,13 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
         FalsecolorType.METALLIC,
     )
     if uses_alpha_skip:
-        hit, state = integrators.ray_skip_alpha(
+        hit, attrs, state = integrators.ray_skip_alpha(
             scene, ctx, ro, rd, state, jnp.ones(ro.shape[0], bool)
         )
     else:
-        hit = intersect.closest_hit(scene, ro, rd, ctx["eps"], W=ctx["W"])
+        hit, attrs = intersect.closest_hit_attrs(
+            scene, ro, rd, ctx["eps"], W=ctx["W"]
+        )
 
     B = ro.shape[0]
     if fc_type in (
@@ -227,13 +229,13 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
         FalsecolorType.OPACITY,
         FalsecolorType.IS_DELTA,
     ):
-        mp = get_material_point(scene, hit)
+        mp = get_material_point(scene, hit, attrs)
     if fc_type == FalsecolorType.ALBEDO:
         col = mp.color
     elif fc_type == FalsecolorType.NORMALS:
-        col = compute_shading_normal(scene, hit)
+        col = compute_shading_normal(scene, hit, attrs)
     elif fc_type == FalsecolorType.NORMALS_UNSIGNED:
-        col = compute_shading_normal(scene, hit) * 0.5 + 0.5
+        col = compute_shading_normal(scene, hit, attrs) * 0.5 + 0.5
     elif fc_type == FalsecolorType.FRONTFACING:
         col = (~hit.backside).astype(jnp.float32)[:, None] * jnp.ones((B, 3))
     elif fc_type == FalsecolorType.EMISSION:

@@ -111,6 +111,10 @@ class SceneTPU:
     wt_c2: jnp.ndarray
     wt_tan: jnp.ndarray  # (Tw,3) world tangent (for normal mapping)
     wt_bit: jnp.ndarray  # (Tw,3) world bitangent
+    # Packed (Tw, ATTR_WIDTH) attribute matrix for the dense Pallas kernel's
+    # in-kernel attribute fetch (one-hot MXU select). (1, ATTR_WIDTH) dummy
+    # in BVH mode — large scenes fetch via gathers instead.
+    wt_attr: jnp.ndarray
 
     # --- world BVH (single node when dense mode) ---
     bvh_min: jnp.ndarray  # (N,3) f32
@@ -523,6 +527,46 @@ def build_scene_tpu(
         if mesh.colors is not None and float(mesh.colors[:, 3].min()) < 1.0:
             has_alpha = True
 
+    # ---- packed attribute matrix for the dense Pallas kernel ----
+    if not use_bvh and Tw > 0:
+        from ..kernels import pallas_intersect as pk
+
+        Tp = wt["v0"].shape[0]
+        A = np.zeros((Tp, pk.ATTR_WIDTH), np.float32)
+        A[:, pk.ATTR_N0] = wt["n0"]
+        A[:, pk.ATTR_N1] = wt["n1"]
+        A[:, pk.ATTR_N2] = wt["n2"]
+        A[:, pk.ATTR_GN] = wt["gn"]
+        A[:, pk.ATTR_UV0] = wt["uv0"]
+        A[:, pk.ATTR_UV1] = wt["uv1"]
+        A[:, pk.ATTR_UV2] = wt["uv2"]
+        A[:, pk.ATTR_HAS_UV] = wt["has_uv"]
+        A[:, pk.ATTR_C0] = wt["c0"]
+        A[:, pk.ATTR_C1] = wt["c1"]
+        A[:, pk.ATTR_C2] = wt["c2"]
+        A[:, pk.ATTR_TAN] = wt["tan"]
+        A[:, pk.ATTR_BIT] = wt["bit"]
+        mid = wt["mat"].astype(np.int64)
+        A[:, pk.ATTR_MAT_COLOR] = mat_color[mid]
+        A[:, pk.ATTR_MAT_EMISSION] = mat_emission[mid]
+        A[:, pk.ATTR_MAT_SCATTERING] = mat_scattering[mid]
+        A[:, pk.ATTR_MAT_TYPE] = mat_type[mid]
+        A[:, pk.ATTR_MAT_ROUGHNESS] = mat_roughness[mid]
+        A[:, pk.ATTR_MAT_METALLIC] = mat_metallic[mid]
+        A[:, pk.ATTR_MAT_IOR] = mat_ior[mid]
+        A[:, pk.ATTR_MAT_ANISO] = mat_aniso[mid]
+        A[:, pk.ATTR_MAT_TRDEPTH] = mat_trd[mid]
+        A[:, pk.ATTR_MAT_TEX] = mat_tex[mid]
+        A[:, pk.ATTR_DET_SIGN] = inst_det_sign[wt["inst"].astype(np.int64)]
+        A[:, pk.ATTR_MAT_ID] = wt["mat"]
+        A[:, pk.ATTR_INST_ID] = wt["inst"]
+        A[:, pk.ATTR_TRI_ID] = wt["tri"]
+        wt_attr = A
+    else:
+        from ..kernels import pallas_intersect as pk
+
+        wt_attr = np.zeros((1, pk.ATTR_WIDTH), np.float32)
+
     # ---- static feature flags over materials/meshes actually used ----
     from ..core.types import MaterialType as MT
 
@@ -619,6 +663,7 @@ def build_scene_tpu(
         wt_c2=dev(wt["c2"]),
         wt_tan=dev(wt["tan"]),
         wt_bit=dev(wt["bit"]),
+        wt_attr=dev(wt_attr),
         bvh_min=dev(bvh_min),
         bvh_max=dev(bvh_max),
         bvh_first=dev(bvh_first, np.int32),
