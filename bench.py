@@ -65,7 +65,7 @@ def main():
         state, ro, rd = compute_camera_ray(
             cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
             cam["focus"], cam["aperture"], False,
-            jnp.stack([gx, gy], -1), (jnp.float32(W), jnp.float32(H)),
+            gx, gy, (jnp.float32(W), jnp.float32(H)),
             ox - 0.5, oy - 0.5, state,
         )
         ctx = integrators.make_ctx(scene, jnp.float32(1e-3))
@@ -81,13 +81,13 @@ def main():
     desc.accum_params.accumulate = True
     desc.accum_params.counter = 0
     image = renderer.pathtrace_scene(tpu, image, desc, baked)  # warm-up/compile
-    image.block_until_ready()
+    _ = float(jnp.sum(image))  # force: block_until_ready is unreliable on axon
 
     t0 = time.time()
     for i in range(1, ACCUMS + 1):
         desc.accum_params.counter = i
         image = renderer.pathtrace_scene(tpu, image, desc, baked)
-    image.block_until_ready()
+    _ = float(jnp.sum(image))  # force: block_until_ready is unreliable on axon
     dt = time.time() - t0
 
     total_rays = rays_per_spp * SPP_PER_ACCUM * ACCUMS

@@ -1,29 +1,26 @@
-"""Ray-scene intersection kernels (pure-JAX reference implementations).
+"""Ray-scene intersection kernels.
 
 TPU-native rebuild of the reference's traversal layer
 (bvh_custom.wgsl:7-300 + pathtracer.wgsl:2906-2961). Two backends, mirroring
 the reference's SW/HW pipeline pair (renderer.rs:472-475) but selected by
 scene size instead of driver features:
 
-1. ``closest_hit_dense`` — the MXU path. Cramer's-rule ray/triangle
-   intersection factors into a single matmul: each ray becomes the
-   10-feature row R = [d, o x d, o, 1] and each triangle contributes four
-   10-vectors whose dot products with R are exactly the determinant and the
-   t/u/v numerators of pathtracer.wgsl:2922-2943 (ray_tri_dst). One
-   (B,10)@(10,4T) contraction at float32 precision evaluates every
-   ray-triangle pair on the systolic array; a cheap VPU epilogue + min
-   reduction picks the closest valid hit. This is the fastest possible
-   formulation for small-to-medium scenes and has zero divergence.
+1. dense MXU path — Cramer's-rule ray/triangle intersection factors into a
+   matmul: each ray becomes the 10-feature row R = [d, o x d, o, 1] and each
+   triangle contributes four 10-vectors whose dot products with R are the
+   determinant and the t/u/v numerators of pathtracer.wgsl:2922-2943
+   (ray_tri_dst). The Pallas kernel (kernels/pallas_intersect.py) evaluates
+   all pairs on the systolic array with an on-chip running argmin and can
+   also return the winning triangle's packed shading attributes.
 
 2. ``closest_hit_bvh`` — the world-BVH path for large scenes. The
    reference's per-thread TLAS->BLAS stacks (bvh_custom.wgsl:11-110,
-   195-288) become one batched masked stack walk over the single
-   world-space BVH: every lane pops its node, leaf lanes run a fixed-size
-   triangle block test, internal lanes do the ordered near-first push with
-   `dst < best_t` pruning — the same traversal order, expressed as
-   vectorized lane math with one-hot stack updates.
+   195-288) become one batched masked stack walk over the single world
+   BVH: every lane pops its node, leaf lanes run a fixed-size triangle
+   block test, internal lanes do the ordered near-first push with
+   `dst < best_t` pruning — the same traversal order, as lane math.
 
-A Pallas fused version of (1) lives in kernels/pallas_intersect.py.
+All ray vectors are component-wise V3 batches (core/vec3.py).
 """
 
 from __future__ import annotations
@@ -32,14 +29,16 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..core import vec3 as v3
+from ..core.vec3 import V3
+
 F32_MAX = jnp.float32(3.4028235e38)
 
 
 @struct.dataclass
 class HitInfo:
     """Batched hit record (pathtracer.wgsl:2953-2961). ``tri`` indexes the
-    world-triangle soup (BVH order); instance/mesh ids come from
-    scene.wt_inst / scene.wt_tri gathers."""
+    world-triangle soup (BVH order)."""
 
     hit: jnp.ndarray  # (B,) bool
     dst: jnp.ndarray  # (B,) f32
@@ -61,13 +60,21 @@ def miss(batch_shape) -> HitInfo:
     )
 
 
+def _use_pallas() -> bool:
+    """Pallas path on TPU; the jnp formulation on CPU (interpret-mode Pallas
+    is an order of magnitude slower there and tests run on CPU)."""
+
+    return jax.default_backend() == "tpu"
+
+
 # ---------------------------------------------------------------------------
-# Dense MXU intersector
+# Dense triangle coefficient matrix
 # ---------------------------------------------------------------------------
 
 
-def build_tri_matrix(v0: jnp.ndarray, e1: jnp.ndarray, e2: jnp.ndarray):
-    """Per-triangle coefficient matrix W with shape (10, 4, T).
+def build_tri_matrix(v0T, e1T, e2T):
+    """Per-triangle coefficient matrix W with shape (4, 10, T) from
+    component-major (3, T) triangle tables.
 
     Row layout of the ray feature vector R = [d, o x d, o, 1]:
       det = R . [n, 0, 0, 0]                    n = e1 x e2
@@ -78,49 +85,56 @@ def build_tri_matrix(v0: jnp.ndarray, e1: jnp.ndarray, e2: jnp.ndarray):
     ray_tri_dst (pathtracer.wgsl:2922-2943), hoisted per-triangle.
     """
 
-    n = jnp.cross(e1, e2)
-    c_e2v0 = jnp.cross(e2, v0)
-    c_e1v0 = jnp.cross(e1, v0)
-    ndotv0 = jnp.sum(n * v0, axis=-1)
-    T = v0.shape[0]
-    zeros3 = jnp.zeros((T, 3), v0.dtype)
-    zeros1 = jnp.zeros((T,), v0.dtype)
-    ones0 = ndotv0
-    w_det = jnp.concatenate([n, zeros3, zeros3, zeros1[:, None]], axis=-1)
-    w_nu = jnp.concatenate([c_e2v0, -e2, zeros3, zeros1[:, None]], axis=-1)
-    w_nv = jnp.concatenate([-c_e1v0, e1, zeros3, zeros1[:, None]], axis=-1)
-    w_nt = jnp.concatenate([zeros3, zeros3, -n, ones0[:, None]], axis=-1)
-    # (T, 4, 10) -> (10, 4, T)
-    w = jnp.stack([w_det, w_nu, w_nv, w_nt], axis=1)
-    return jnp.transpose(w, (2, 1, 0))
+    v0 = v3.from_t3(v0T)
+    e1 = v3.from_t3(e1T)
+    e2 = v3.from_t3(e2T)
+    n = v3.cross(e1, e2)
+    c_e2v0 = v3.cross(e2, v0)
+    c_e1v0 = v3.cross(e1, v0)
+    ndotv0 = v3.dot(n, v0)
+    T = v0.x.shape[0]
+    z = jnp.zeros(T, v0.x.dtype)
+    rows = [
+        [n.x, n.y, n.z, z, z, z, z, z, z, z],
+        [c_e2v0.x, c_e2v0.y, c_e2v0.z, -e2.x, -e2.y, -e2.z, z, z, z, z],
+        [-c_e1v0.x, -c_e1v0.y, -c_e1v0.z, e1.x, e1.y, e1.z, z, z, z, z],
+        [z, z, z, z, z, z, -n.x, -n.y, -n.z, ndotv0],
+    ]
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)  # (4,10,T)
 
 
-def ray_features(ro: jnp.ndarray, rd: jnp.ndarray) -> jnp.ndarray:
-    """R = [d, o x d, o, 1] with shape (B, 10)."""
+def scene_tri_matrix(scene) -> jnp.ndarray:
+    """Dense coefficient matrix over the world triangle soup (real tris
+    only; the Pallas wrapper re-pads to its block size)."""
 
-    return jnp.concatenate(
-        [rd, jnp.cross(ro, rd), ro, jnp.ones_like(ro[..., :1])], axis=-1
+    n = scene.num_world_tris
+    return build_tri_matrix(
+        scene.wt_v0[:, :n], scene.wt_e1[:, :n], scene.wt_e2[:, :n]
     )
 
 
-def dense_pairs(R: jnp.ndarray, W: jnp.ndarray):
-    """All-pairs numerators: (B,10)@(10,4T) -> det/nu/nv/nt each (B, T)."""
+def ray_features(ro: V3, rd: V3) -> jnp.ndarray:
+    """R = [d, o x d, o, 1] with shape (B, 10)."""
 
-    T = W.shape[2]
+    c = v3.cross(ro, rd)
+    ones = jnp.ones_like(ro.x)
+    return jnp.stack(
+        [rd.x, rd.y, rd.z, c.x, c.y, c.z, ro.x, ro.y, ro.z, ones], axis=-1
+    )
+
+
+def dense_tuv(R: jnp.ndarray, W4: jnp.ndarray, eps):
+    """All-pairs t/u/v/det via (B,10)@(10,4T); invalid pairs at t = +inf
+    (NaN-safe: degenerate padding triangles produce det = 0)."""
+
+    T = W4.shape[2]
     M = jnp.dot(
         R,
-        W.reshape(10, 4 * T),
+        jnp.transpose(W4, (1, 0, 2)).reshape(10, 4 * T),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ).reshape(-1, 4, T)
-    return M[:, 0], M[:, 1], M[:, 2], M[:, 3]
-
-
-def dense_tuv(R: jnp.ndarray, W: jnp.ndarray, eps):
-    """t/u/v/det with invalid pairs at t = +inf (NaN-safe: padded degenerate
-    triangles produce det = 0 -> NaN numerators -> all compares false)."""
-
-    det, nu, nv, nt = dense_pairs(R, W)
+    det, nu, nv, nt = M[:, 0], M[:, 1], M[:, 2], M[:, 3]
     d = 1.0 / det
     t = nt * d
     u = nu * d
@@ -129,80 +143,80 @@ def dense_tuv(R: jnp.ndarray, W: jnp.ndarray, eps):
     return jnp.where(valid, t, F32_MAX), u, v, det
 
 
-def closest_hit_dense(
-    W: jnp.ndarray, ro: jnp.ndarray, rd: jnp.ndarray, eps, chunk: int | None = None
-) -> HitInfo:
-    """Closest hit over a dense triangle set. Rays are processed in chunks
-    sized to bound the (chunk, 4T) intermediate."""
+def closest_hit_dense_jnp(W4, ro: V3, rd: V3, eps, chunk: int | None = None):
+    """Reference jnp implementation (CPU tests / verification)."""
 
-    B = ro.shape[0]
-    T = W.shape[2]
+    B = ro.x.shape[0]
+    T = W4.shape[2]
     if chunk is None:
         chunk = max(512, min(B, (1 << 23) // max(4 * T, 1)))
     pad = (-B) % chunk
-    ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
-    rd_p = jnp.pad(rd, ((0, pad), (0, 0)))
-    Rf = ray_features(ro_p, rd_p).reshape(-1, chunk, 10)
+    R = ray_features(ro, rd)
+    if pad:
+        R = jnp.pad(R, ((0, pad), (0, 0)))
+    Rf = R.reshape(-1, chunk, 10)
 
     def one_chunk(R):
-        t, u, v, det = dense_tuv(R, W, eps)
+        t, u, v, det = dense_tuv(R, W4, eps)
         best = jnp.argmin(t, axis=1)
         bi = jnp.arange(R.shape[0])
-        bt = t[bi, best]
-        return bt, u[bi, best], v[bi, best], det[bi, best], best.astype(jnp.int32)
+        return t[bi, best], u[bi, best], v[bi, best], det[bi, best], best.astype(
+            jnp.int32
+        )
 
     bt, bu, bv, bdet, btri = jax.lax.map(one_chunk, Rf)
-    bt = bt.reshape(-1)[:B]
-    bu = bu.reshape(-1)[:B]
-    bv = bv.reshape(-1)[:B]
-    bdet = bdet.reshape(-1)[:B]
-    btri = btri.reshape(-1)[:B]
-    hit = bt < F32_MAX
-    return HitInfo(hit=hit, dst=bt, u=bu, v=bv, tri=btri, backside=bdet > 0.0)
+    out = [a.reshape(-1)[:B] for a in (bt, bu, bv, bdet, btri)]
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
-# Batched masked-stack BVH traversal
+# Batched masked-stack BVH traversal (component-wise lane math)
 # ---------------------------------------------------------------------------
 
 
-def _ray_aabb_dst(ro, inv_d, lo, hi):
+def _ray_aabb_dst(ro: V3, inv_d: V3, lo: V3, hi: V3):
     """Slab test (pathtracer.wgsl:2906-2918); returns F32_MAX on miss."""
 
-    t_min = (lo - ro) * inv_d
-    t_max = (hi - ro) * inv_d
-    t1 = jnp.minimum(t_min, t_max)
-    t2 = jnp.maximum(t_min, t_max)
-    dst_far = jnp.min(t2, axis=-1)
-    dst_near = jnp.max(t1, axis=-1)
+    tx1 = (lo.x - ro.x) * inv_d.x
+    tx2 = (hi.x - ro.x) * inv_d.x
+    ty1 = (lo.y - ro.y) * inv_d.y
+    ty2 = (hi.y - ro.y) * inv_d.y
+    tz1 = (lo.z - ro.z) * inv_d.z
+    tz2 = (hi.z - ro.z) * inv_d.z
+    t1x = jnp.minimum(tx1, tx2)
+    t2x = jnp.maximum(tx1, tx2)
+    t1y = jnp.minimum(ty1, ty2)
+    t2y = jnp.maximum(ty1, ty2)
+    t1z = jnp.minimum(tz1, tz2)
+    t2z = jnp.maximum(tz1, tz2)
+    dst_far = jnp.minimum(jnp.minimum(t2x, t2y), t2z)
+    dst_near = jnp.maximum(jnp.maximum(t1x, t1y), t1z)
     did_hit = (dst_far >= dst_near) & (dst_far > 0.0)
     return jnp.where(did_hit, dst_near, F32_MAX)
 
 
-def _ray_tri(ro, rd, v0, e1, e2, eps):
+def _ray_tri(ro: V3, rd: V3, tv0: V3, te1: V3, te2: V3, eps):
     """Per-lane ray_tri_dst (pathtracer.wgsl:2922-2943)."""
 
-    n = jnp.cross(e1, e2)
-    rov0 = ro - v0
-    q = jnp.cross(rov0, rd)
-    det = jnp.sum(rd * n, axis=-1)
+    n = v3.cross(te1, te2)
+    rov0 = ro - tv0
+    q = v3.cross(rov0, rd)
+    det = v3.dot(rd, n)
     d = 1.0 / det
-    u = d * jnp.sum(-q * e2, axis=-1)
-    v = d * jnp.sum(q * e1, axis=-1)
-    t = d * jnp.sum(-n * rov0, axis=-1)
+    u = d * -v3.dot(q, te2)
+    v = d * v3.dot(q, te1)
+    t = d * -v3.dot(n, rov0)
     valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= eps)
     return jnp.where(valid, t, F32_MAX), u, v, det
 
 
-def closest_hit_bvh(
-    scene, ro: jnp.ndarray, rd: jnp.ndarray, eps, with_counts: bool = False
-):
+def closest_hit_bvh(scene, ro: V3, rd: V3, eps, with_counts: bool = False):
     """Masked wavefront traversal of the world BVH. Every live lane advances
     one node per iteration; the loop runs until every lane's stack is empty.
     Near-child-first ordered push with best-t pruning matches
     bvh_custom.wgsl:246-284."""
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
     S = scene.bvh_depth + 2
     K = scene.bvh_leaf_size
     inv_d = 1.0 / rd
@@ -247,9 +261,9 @@ def closest_hit_bvh(
         # Leaf: fixed-size triangle block (masked beyond tri_count).
         for k in range(K):
             ti = first + k
-            tv0 = scene.wt_v0[ti]
-            te1 = scene.wt_e1[ti]
-            te2 = scene.wt_e2[ti]
+            tv0 = v3.gather(scene.wt_v0, ti)
+            te1 = v3.gather(scene.wt_e1, ti)
+            te2 = v3.gather(scene.wt_e2, ti)
             t, u, v, det = _ray_tri(ro, rd, tv0, te1, te2, eps)
             upd = is_leaf & (k < count) & (t < best_t)
             best_u = jnp.where(upd, u, best_u)
@@ -261,8 +275,12 @@ def closest_hit_bvh(
         # Internal: ordered push of both children.
         lc = first
         rc = first + 1
-        tl = _ray_aabb_dst(ro, inv_d, scene.bvh_min[lc], scene.bvh_max[lc])
-        tr = _ray_aabb_dst(ro, inv_d, scene.bvh_min[rc], scene.bvh_max[rc])
+        tl = _ray_aabb_dst(
+            ro, inv_d, v3.gather(scene.bvh_min, lc), v3.gather(scene.bvh_max, lc)
+        )
+        tr = _ray_aabb_dst(
+            ro, inv_d, v3.gather(scene.bvh_min, rc), v3.gather(scene.bvh_max, rc)
+        )
         push_l = is_int & (tl < best_t)
         push_r = is_int & (tr < best_t)
         left_near = tl <= tr
@@ -276,8 +294,7 @@ def closest_hit_bvh(
         stack = set_stack(stack, sp, near, push_near)
         sp = sp + push_near.astype(jnp.int32)
 
-        # Debug counters (RAY_DEBUG_INFO, pathtracer.wgsl:2945-2951;
-        # increments at bvh_custom.wgsl:53-55, 227-229, 242-244).
+        # Debug counters (RAY_DEBUG_INFO, pathtracer.wgsl:2945-2951).
         n_tri = c["n_tri"] + jnp.where(is_leaf, jnp.minimum(count, K), 0)
         n_aabb = c["n_aabb"] + jnp.where(is_int, 2, 0)
 
@@ -308,11 +325,11 @@ def closest_hit_bvh(
     return info
 
 
-def count_traversal(scene, ro, rd, eps):
+def count_traversal(scene, ro: V3, rd: V3, eps):
     """Per-ray tri/AABB check counts for one closest-hit query (the debug
     heatmap's data source). Dense mode tests every triangle by design."""
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
     if scene.instances_empty:
         z = jnp.zeros(B, jnp.int32)
         return z, z
@@ -324,72 +341,44 @@ def count_traversal(scene, ro, rd, eps):
 
 
 # ---------------------------------------------------------------------------
-# Unified entry point
+# Unified entry points
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas() -> bool:
-    """Pallas path on TPU; the chunked jnp formulation on CPU (interpret-mode
-    Pallas is an order of magnitude slower there and tests run on CPU)."""
-
-    import jax
-
-    return jax.default_backend() == "tpu"
-
-
-def scene_tri_matrix(scene) -> jnp.ndarray:
-    """Dense coefficient matrix over the (padded) world triangle soup, in the
-    (4, 10, T) layout the Pallas kernel consumes."""
-
-    # Only real triangles; the Pallas wrapper re-pads to its block size
-    # (the scene's extra leaf-gather slack would double the block count).
-    n = scene.num_world_tris
-    w = build_tri_matrix(
-        scene.wt_v0[:n], scene.wt_e1[:n], scene.wt_e2[:n]
-    )  # (10,4,T)
-    return jnp.transpose(w, (1, 0, 2))
-
-
-def closest_hit(scene, ro, rd, eps, W: jnp.ndarray | None = None) -> HitInfo:
-    """ray_scene_intersection equivalent (bvh_custom.wgsl:7-110): dispatches
-    to the MXU-dense or BVH backend (static choice baked at flatten time) and
-    fixes up hit_backside to the reference's object-space determinant sign."""
-
-    if scene.instances_empty:
-        return miss(ro.shape[:-1])
-    if scene.use_bvh:
-        h = closest_hit_bvh(scene, ro, rd, eps)
-    else:
-        if W is None:
-            W = scene_tri_matrix(scene)
-        if _use_pallas():
-            from .pallas_intersect import dense_closest_hit_pallas
-
-            t, u, v, det, idx = dense_closest_hit_pallas(W, ro, rd, eps)
-            h = HitInfo(
-                hit=t < F32_MAX, dst=t, u=u, v=v, tri=idx, backside=det > 0.0
-            )
-        else:
-            h = closest_hit_dense(
-                jnp.transpose(W, (1, 0, 2)), ro, rd, eps
-            )
+def _fixup_backside(scene, h: HitInfo) -> HitInfo:
     flip = scene.inst_det_sign[scene.wt_inst[h.tri]] < 0.0
     return h.replace(backside=jnp.where(flip, ~h.backside, h.backside))
 
 
-def closest_hit_attrs(scene, ro, rd, eps, W: jnp.ndarray | None = None):
-    """Dense-mode closest hit returning (HitInfo, packed attrs (B, AW)).
+def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> HitInfo:
+    """ray_scene_intersection equivalent (bvh_custom.wgsl:7-110)."""
 
-    The attrs row is fetched in-kernel (one-hot MXU select), eliminating all
-    per-hit shading gathers. Falls back to (closest_hit, None) when the
-    scene traverses the BVH (attrs come from gathers there)."""
+    if scene.instances_empty:
+        return miss(ro.x.shape)
+    if scene.use_bvh:
+        return _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
+    if W is None:
+        W = scene_tri_matrix(scene)
+    if _use_pallas():
+        from .pallas_intersect import dense_closest_hit_pallas
+
+        t, u, v, det, idx = dense_closest_hit_pallas(W, ro, rd, eps)
+    else:
+        t, u, v, det, idx = closest_hit_dense_jnp(W, ro, rd, eps)
+    h = HitInfo(hit=t < F32_MAX, dst=t, u=u, v=v, tri=idx, backside=det > 0.0)
+    return _fixup_backside(scene, h)
+
+
+def closest_hit_attrs(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None):
+    """Dense-mode closest hit returning (HitInfo, attrs (AW, B) or None).
+
+    The attrs rows are fetched in-kernel (one-hot MXU select), eliminating
+    all per-hit shading gathers. BVH scenes return attrs=None and shade via
+    gathers."""
 
     if scene.instances_empty or scene.use_bvh or not _use_pallas():
         return closest_hit(scene, ro, rd, eps, W=W), None
-    from .pallas_intersect import (
-        ATTR_DET_SIGN,
-        dense_closest_hit_attrs_pallas,
-    )
+    from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas
 
     if W is None:
         W = scene_tri_matrix(scene)
@@ -397,7 +386,7 @@ def closest_hit_attrs(scene, ro, rd, eps, W: jnp.ndarray | None = None):
         W, scene.wt_attr, ro, rd, eps
     )
     backside = det > 0.0
-    flip = attr[:, ATTR_DET_SIGN] < 0.0
+    flip = attr[ATTR_DET_SIGN] < 0.0
     h = HitInfo(
         hit=t < F32_MAX,
         dst=t,

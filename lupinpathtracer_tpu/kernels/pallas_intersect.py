@@ -20,6 +20,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import vec3 as v3
+
+
+def _ray_matrix(ro, rd, pad):
+    """(B,10) ray feature rows [d, o x d, o, 1] from V3 components, padded.
+    Built once per intersect call; its minor dim is 10 (layout-padded) but
+    it is a single small write that immediately feeds the MXU."""
+
+    c = v3.cross(ro, rd)
+    ones = jnp.ones_like(ro.x)
+    cols = [rd.x, rd.y, rd.z, c.x, c.y, c.z, ro.x, ro.y, ro.z, ones]
+    R = jnp.stack(cols, axis=-1)
+    if pad:
+        R = jnp.pad(R, ((0, pad), (0, 0)))
+    return R
+
 # Plain Python literals: jnp scalars at module scope would be captured as
 # pallas kernel constants, which pallas_call rejects.
 F32_MAX = 3.4028235e38
@@ -198,7 +214,8 @@ def _kernel_attrs(
     v_ref[0] = bv.reshape(v_ref.shape[1:])
     det_ref[0] = bdet.reshape(det_ref.shape[1:])
     idx_ref[0] = bidx.reshape(idx_ref.shape[1:])
-    attr_ref[...] = battr
+    # Transposed (ATTR_WIDTH, RB) so every attribute is a lane-major row.
+    attr_ref[...] = battr.T
 
 
 def dense_closest_hit_attrs_pallas(
@@ -206,7 +223,7 @@ def dense_closest_hit_attrs_pallas(
 ):
     """Closest hit + packed attribute row per ray. A: (T, ATTR_WIDTH)."""
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
     T = W4.shape[2]
     for cand in (tri_block, 128):
         if T >= cand or cand == 128:
@@ -221,13 +238,8 @@ def dense_closest_hit_attrs_pallas(
     assert A.shape == (T, A.shape[1]), (A.shape, T)
     RB = min(ray_block, B)
     pad = (-B) % RB
-    if pad:
-        ro = jnp.pad(ro, ((0, pad), (0, 0)))
-        rd = jnp.pad(rd, ((0, pad), (0, 0)))
     Bp = B + pad
-    R = jnp.concatenate(
-        [rd, jnp.cross(ro, rd), ro, jnp.ones_like(ro[:, :1])], axis=-1
-    )
+    R = _ray_matrix(ro, rd, pad)
     eps_arr = jnp.reshape(jnp.asarray(eps, jnp.float32), (1,))
 
     n_rb = Bp // RB
@@ -239,13 +251,13 @@ def dense_closest_hit_attrs_pallas(
         vec(jnp.float32),
         vec(jnp.float32),
         vec(jnp.int32),
-        jax.ShapeDtypeStruct((Bp, A.shape[1]), jnp.float32),
+        jax.ShapeDtypeStruct((A.shape[1], Bp), jnp.float32),
     )
     vec_spec = pl.BlockSpec(
         (1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     attr_spec = pl.BlockSpec(
-        (RB, A.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (A.shape[1], RB), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     t, u, v, det, idx, attr = pl.pallas_call(
         functools.partial(_kernel_attrs, TB=TB),
@@ -266,7 +278,7 @@ def dense_closest_hit_attrs_pallas(
         v.reshape(-1)[:B],
         det.reshape(-1)[:B],
         idx.reshape(-1)[:B],
-        attr[:B],
+        attr[:, :B],
     )
 
 
@@ -274,7 +286,7 @@ def dense_closest_hit_pallas(W4, ro, rd, eps, ray_block=1024, tri_block=512):
     """W4: (4, 10, T) coefficient matrix (T padded to tri_block); returns
     (t, u, v, det, idx) per ray with t == F32_MAX on miss."""
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
     T = W4.shape[2]
     # Pad triangles to a lane-aligned block count; zero columns yield
     # det = 0 -> NaN epilogue -> invalid, so padding never produces hits.
@@ -289,13 +301,8 @@ def dense_closest_hit_pallas(W4, ro, rd, eps, ray_block=1024, tri_block=512):
     assert T % TB == 0, (T, TB)
     RB = min(ray_block, B)
     pad = (-B) % RB
-    if pad:
-        ro = jnp.pad(ro, ((0, pad), (0, 0)))
-        rd = jnp.pad(rd, ((0, pad), (0, 0)))
     Bp = B + pad
-    R = jnp.concatenate(
-        [rd, jnp.cross(ro, rd), ro, jnp.ones_like(ro[:, :1])], axis=-1
-    )
+    R = _ray_matrix(ro, rd, pad)
     eps_arr = jnp.reshape(jnp.asarray(eps, jnp.float32), (1,))
 
     n_rb = Bp // RB

@@ -3,18 +3,22 @@
 TPU-native rebuild of the reference's hardware texture path: WGPU
 `binding_array<texture_2d>` + linear-repeat samplers
 (pathtracer.wgsl:13-14, 1412-1416; wgpu_utils.rs:244-256). TPUs have no
-samplers, so all textures live in one flat (P,4) pixel array with
-offset/width/height tables and bilinear-repeat filtering is four gathers
-plus lerps — pure VPU lane math over the ray batch.
+samplers, so all textures live in one flat component-major (4, P) pixel
+array with offset/size tables; bilinear-repeat filtering is four gathers
+per channel plus lerps — pure VPU lane math over the ray batch. Returns
+(rgb V3, alpha) tuples to keep everything in the lane-major layout.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import vec3 as v3
+from ..core.vec3 import V3
+
 
 def sample_texture(scene, tex_idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Bilinear sample with repeat addressing; returns (B, 4).
+    """Bilinear sample with repeat addressing; returns (V3 rgb, alpha (B,)).
 
     ``tex_idx`` may contain -1 (sentinel): those lanes return 1.0, matching
     call sites that guard with SENTINEL_IDX (pathtracer.wgsl:1293-1310).
@@ -33,34 +37,33 @@ def sample_texture(scene, tex_idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     y = v * hf - 0.5
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    fx = (x - x0f)[..., None]
-    fy = (y - y0f)[..., None]
+    fx = x - x0f
+    fy = y - y0f
     x0 = jnp.mod(x0f.astype(jnp.int32), w)
     y0 = jnp.mod(y0f.astype(jnp.int32), h)
     x1 = jnp.mod(x0 + 1, w)
     y1 = jnp.mod(y0 + 1, h)
 
-    def fetch(yy, xx):
-        return scene.tex_data[off + yy * w + xx]
+    i00 = off + y0 * w + x0
+    i10 = off + y0 * w + x1
+    i01 = off + y1 * w + x0
+    i11 = off + y1 * w + x1
 
-    c00 = fetch(y0, x0)
-    c10 = fetch(y0, x1)
-    c01 = fetch(y1, x0)
-    c11 = fetch(y1, x1)
-    top = c00 * (1.0 - fx) + c10 * fx
-    bot = c01 * (1.0 - fx) + c11 * fx
-    out = top * (1.0 - fy) + bot * fy
-    return jnp.where(present[..., None], out, 1.0)
+    def chan(c):
+        row = scene.tex_data[c]
+        top = row[i00] * (1.0 - fx) + row[i10] * fx
+        bot = row[i01] * (1.0 - fx) + row[i11] * fx
+        out = top * (1.0 - fy) + bot * fy
+        return jnp.where(present, out, 1.0)
 
-
-def texture_size(scene, tex_idx: jnp.ndarray):
-    ti = jnp.maximum(tex_idx, 0)
-    return scene.tex_width[ti], scene.tex_height[ti]
+    return V3(chan(0), chan(1), chan(2)), chan(3)
 
 
-def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
-    """pathtracer.wgsl:2814-2820."""
+def srgb_to_linear(c):
+    """pathtracer.wgsl:2814-2820; works on (B,) channels or V3."""
 
+    if isinstance(c, V3):
+        return V3(*(srgb_to_linear(x) for x in c))
     return jnp.where(
         c < 0.04045,
         c / 12.92,

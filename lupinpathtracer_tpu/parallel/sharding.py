@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..core import rng as rng_mod
+from ..core import vec3 as v3c
 from ..core.types import BakedPathtraceParams, PathtraceDesc
 from ..render import integrators
 from ..render.camera import compute_camera_ray
@@ -47,7 +48,6 @@ def _trace_block(
 
     pixel_idx = (gy * W + gx).astype(jnp.uint32)
     ctx = integrators.make_ctx(scene, ray_epsilon)
-    pix_xy = jnp.stack([gx, gy], axis=-1)
     resolution = (jnp.float32(W), jnp.float32(H))
 
     def one_sample(s, acc):
@@ -58,7 +58,7 @@ def _trace_block(
         state, oy = rng_mod.next_f32(state)
         state, ro, rd = compute_camera_ray(
             cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
-            cam["focus"], cam["aperture"], is_ortho, pix_xy, resolution,
+            cam["focus"], cam["aperture"], is_ortho, gx, gy, resolution,
             ox - 0.5, oy - 0.5, state,
         )
         radiance, state, _, _ = integrators.pathtrace(
@@ -66,10 +66,8 @@ def _trace_block(
         )
         return acc + integrators.clamp_radiance(radiance, max_radiance)
 
-    acc = jax.lax.fori_loop(
-        0, spp, one_sample, jnp.zeros((gx.shape[0], 3), jnp.float32)
-    )
-    return acc / float(spp)
+    acc = jax.lax.fori_loop(0, spp, one_sample, v3c.zeros(gx.shape[0]))
+    return v3c.to_rows(acc / float(spp))
 
 
 def make_sharded_render_step(

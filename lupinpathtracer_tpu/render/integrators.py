@@ -6,8 +6,9 @@ TPU-native rebuild of the four integrator loops in pathtracer.wgsl
 GPU thread with data-dependent control flow; here the whole ray batch
 advances together through a masked `lax.while_loop` over bounces — every
 divergence point (miss, delta vs smooth, in-volume vs surface, Russian
-roulette, zero-direction death) becomes an `alive`/branch mask. Semantics
-are matched exactly, including:
+roulette, zero-direction death) becomes an `alive`/branch mask. All
+vectors/colors are component-wise V3 batches (core/vec3.py). Semantics are
+matched exactly, including:
 
 - the 50/50 one-sample BSDF/light mix of the "poor man's MIS"
   (pathtracer.wgsl:640-658);
@@ -27,7 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
+from ..core import vec3 as v3
 from ..core.types import MAX_OPACITY_BOUNCES, PathtraceType
+from ..core.vec3 import V3
 from ..kernels import intersect
 from . import bsdf, lights
 from .materials import (
@@ -38,25 +41,18 @@ from .materials import (
 )
 
 
-def _all3(v):
-    return jnp.all(v == 0.0, axis=-1)
-
-
-def _any3(v):
-    return jnp.any(v != 0.0, axis=-1)
-
-
-def _finite3(v):
-    return jnp.all(jnp.isfinite(v), axis=-1)
-
-
 def make_ctx(scene, eps):
     """Per-render precomputation: dense triangle matrix (when the dense MXU
     intersector is active) and the light-triangle matrix for pdf evaluation.
     XLA hoists these out of the bounce loop."""
 
     W = None if scene.use_bvh else intersect.scene_tri_matrix(scene)
-    Wl = None if scene.lights_empty else lights.light_tri_matrix(scene)
+    small_lights = scene.lt_v0.shape[1] <= 32
+    Wl = (
+        None
+        if (scene.lights_empty or small_lights)
+        else lights.light_tri_matrix(scene)
+    )
     return dict(eps=eps, W=W, Wl=Wl)
 
 
@@ -69,6 +65,7 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
     if not scene.has_alpha:
         return hit, attrs, state
 
+    has_attrs = attrs is not None
     mp = get_material_point(scene, hit, attrs)
     state, r0 = rng_mod.next_f32(state)
     recast0 = mask & hit.hit & (mp.opacity < 1.0) & (r0 >= mp.opacity)
@@ -76,66 +73,48 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
     def cond(c):
         return jnp.any(c["recast"]) & (c["i"] < MAX_OPACITY_BOUNCES - 1)
 
-    def merge(recast, new, old):
-        if new is None:
-            return None
-        return jax.tree.map(
-            lambda a, b: jnp.where(
-                recast if a.ndim == 1 else recast[:, None], a, b
-            ),
-            new,
-            old,
-        )
-
     def body(c):
         nh, nat = intersect.closest_hit_attrs(
-            scene, c["ro"], rd, ctx["eps"], W=ctx["W"]
+            scene, V3(*c["ro"]), rd, ctx["eps"], W=ctx["W"]
         )
-        h = merge(c["recast"], nh, c["hit"])
-        at = merge(c["recast"], nat, c["attrs"])
-        dst_acc = jnp.where(c["recast"], c["dst_acc"] + nh.dst, c["dst_acc"])
-        mp2 = get_material_point(scene, h, at)
+        recast = c["recast"]
+        h = jax.tree.map(lambda a, b: jnp.where(recast, a, b), nh, c["hit"])
+        if has_attrs:
+            at = jnp.where(recast[None, :], nat, c["attrs"])
+        else:
+            at = c["attrs"]
+        dst_acc = jnp.where(recast, c["dst_acc"] + nh.dst, c["dst_acc"])
+        mp2 = get_material_point(scene, h, at if has_attrs else None)
         state2, r = rng_mod.next_f32(c["state"])
         pass_through = (mp2.opacity < 1.0) & (r >= mp2.opacity)
-        recast = c["recast"] & h.hit & pass_through
-        ro2 = jnp.where(recast[:, None], c["ro"] + rd * nh.dst[:, None], c["ro"])
-        out = dict(
-            ro=ro2, hit=h, dst_acc=dst_acc, recast=recast, state=state2,
-            i=c["i"] + 1,
+        recast2 = recast & h.hit & pass_through
+        ro_new = tuple(
+            jnp.where(recast2, o + d * nh.dst, o)
+            for o, d in zip(c["ro"], (rd.x, rd.y, rd.z))
         )
-        if at is not None:
-            out["attrs"] = at
-        return out
+        return dict(
+            ro=ro_new, hit=h, attrs=at, dst_acc=dst_acc, recast=recast2,
+            state=state2, i=c["i"] + 1,
+        )
 
+    ro0 = tuple(
+        jnp.where(recast0, o + d * hit.dst, o)
+        for o, d in zip((ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z))
+    )
     init = dict(
-        ro=jnp.where(recast0[:, None], ro + rd * hit.dst[:, None], ro),
+        ro=ro0,
         hit=hit,
+        attrs=attrs if has_attrs else jnp.zeros((1,), jnp.float32),
         dst_acc=hit.dst,
         recast=recast0,
         state=state,
         i=jnp.int32(0),
     )
-    if attrs is not None:
-        init["attrs"] = attrs
-
-        def cond2(c):
-            return jnp.any(c["recast"]) & (c["i"] < MAX_OPACITY_BOUNCES - 1)
-
-        c = jax.lax.while_loop(cond2, body, init)
-        h = c["hit"]
-        return h.replace(dst=c["dst_acc"]), c["attrs"], c["state"]
-
-    def body_noattrs(c):
-        c = dict(c)
-        c["attrs"] = None
-        out = body(c)
-        out.pop("attrs", None)
-        return out
-
-    c = jax.lax.while_loop(cond, body_noattrs, init)
+    c = jax.lax.while_loop(cond, body, init)
     h = c["hit"]
     # Distance stays relative to the ORIGINAL origin (bvh_custom.wgsl:176-178).
-    return h.replace(dst=c["dst_acc"]), None, c["state"]
+    out_attrs = c["attrs"] if has_attrs else None
+    return h.replace(dst=c["dst_acc"]), out_attrs, c["state"]
 
 
 def _sample_surface_common(scene, ctx, mp, normal, outgoing, hit_pos, state, use_nee):
@@ -150,7 +129,7 @@ def _sample_surface_common(scene, ctx, mp, normal, outgoing, hit_pos, state, use
     bdir = bsdf.sample_bsdfcos(mp, normal, outgoing, rnl, rx, ry, types)
     if use_nee:
         state, ldir = lights.sample_lights(scene, hit_pos, outgoing, state)
-        incoming = jnp.where((r_choice < 0.5)[:, None], bdir, ldir)
+        incoming = v3.where(r_choice < 0.5, bdir, ldir)
         pdf = 0.5 * bsdf.sample_bsdfcos_pdf(
             mp, normal, outgoing, incoming, types
         ) + 0.5 * lights.sample_lights_pdf(
@@ -159,9 +138,9 @@ def _sample_surface_common(scene, ctx, mp, normal, outgoing, hit_pos, state, use
     else:
         incoming = bdir
         pdf = bsdf.sample_bsdfcos_pdf(mp, normal, outgoing, incoming, types)
-    dead = _all3(incoming)
+    dead = v3.all_zero(incoming)
     f = bsdf.eval_bsdfcos(mp, normal, outgoing, incoming, types)
-    factor = f / jnp.maximum(pdf, 0.0)[:, None]
+    factor = f / jnp.maximum(pdf, 0.0)
     return state, incoming, factor, dead
 
 
@@ -175,7 +154,7 @@ def _sample_volume_common(
     sdir = bsdf.sample_scattering(vol_den, vol_sca, vol_aniso, outgoing, vx, vy)
     if use_nee:
         state, ldir = lights.sample_lights(scene, hit_pos, outgoing, state)
-        incoming = jnp.where((vr < 0.5)[:, None], sdir, ldir)
+        incoming = v3.where(vr < 0.5, sdir, ldir)
         pdf = 0.5 * bsdf.sample_scattering_pdf(
             vol_den, vol_aniso, outgoing, incoming
         ) + 0.5 * lights.sample_lights_pdf(
@@ -184,24 +163,42 @@ def _sample_volume_common(
     else:
         incoming = sdir
         pdf = bsdf.sample_scattering_pdf(vol_den, vol_aniso, outgoing, incoming)
-    dead = _all3(incoming)
+    dead = v3.all_zero(incoming)
     f = bsdf.eval_scattering(vol_den, vol_sca, vol_aniso, outgoing, incoming)
-    factor = f / jnp.maximum(pdf, 0.0)[:, None]
+    factor = f / jnp.maximum(pdf, 0.0)
     return state, incoming, factor, dead
 
 
 def pathtrace(scene, ctx, ro, rd, state, ptype: int, max_bounces: int):
-    """Run one full path per lane; returns (radiance (B,3), state)."""
+    """Run one full path per lane; returns (radiance V3, state, n_bounces,
+    n_traced)."""
 
     if ptype == PathtraceType.MIS:
         return _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces)
     return _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces)
 
 
+def _transmit(scene, c, alive, hit, weight, tr1, tr2):
+    """Volume transmittance entry (pathtracer.wgsl:611-620)."""
+
+    if scene.any_volumetric:
+        in_med = alive & (c["vol_len"] > 0)
+        vdst = bsdf.sample_transmittance(c["vol_den"], hit.dst, tr1, tr2)
+        t_w = bsdf.eval_transmittance(c["vol_den"], vdst) / jnp.maximum(
+            bsdf.sample_transmittance_pdf(c["vol_den"], vdst, hit.dst), 1e-30
+        )
+        weight = v3.where(in_med, weight * t_w, weight)
+        in_volume = in_med & (vdst < hit.dst)
+    else:
+        vdst = hit.dst
+        in_volume = jnp.zeros_like(alive)
+    return vdst, in_volume, weight
+
+
 def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
     """Shared loop for STANDARD / NAIVE / DIRECT."""
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
     is_direct = ptype == PathtraceType.DIRECT
     use_nee = ptype in (PathtraceType.STANDARD, PathtraceType.DIRECT)
 
@@ -210,11 +207,11 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         ro=ro,
         rd=rd,
         state=state,
-        weight=jnp.ones((B, 3), jnp.float32),
-        radiance=jnp.zeros((B, 3), jnp.float32),
+        weight=v3.full(B, 1.0),
+        radiance=v3.zeros(B),
         alive=jnp.ones(B, bool),
-        vol_den=jnp.zeros((B, 3), jnp.float32),
-        vol_sca=jnp.zeros((B, 3), jnp.float32),
+        vol_den=v3.zeros(B),
+        vol_sca=v3.zeros(B),
         vol_aniso=jnp.zeros(B, jnp.float32),
         vol_len=jnp.zeros(B, jnp.int32),
         next_emission=jnp.ones(B, bool),
@@ -241,35 +238,24 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         if not scene.envs_empty:
             env = lights.sample_environments(scene, rd)
             env_mask = miss_m & next_emission if is_direct else miss_m
-            radiance = radiance + jnp.where(env_mask[:, None], weight * env, 0.0)
+            radiance = radiance + v3.where(env_mask, weight * env, v3.zeros(B))
         alive = alive & hit.hit
         n_bounces = c["n_bounces"] + alive.astype(jnp.int32)
 
-        # Volume transmittance (pathtracer.wgsl:611-620).
         state, tr1 = rng_mod.next_f32(state)
         state, tr2 = rng_mod.next_f32(state)
-        if scene.any_volumetric:
-            in_med = alive & (c["vol_len"] > 0)
-            vdst = bsdf.sample_transmittance(c["vol_den"], hit.dst, tr1, tr2)
-            t_w = bsdf.eval_transmittance(c["vol_den"], vdst) / jnp.maximum(
-                bsdf.sample_transmittance_pdf(c["vol_den"], vdst, hit.dst), 1e-30
-            )[:, None]
-            weight = jnp.where(in_med[:, None], weight * t_w, weight)
-            in_volume = in_med & (vdst < hit.dst)
-        else:
-            vdst = hit.dst
-            in_volume = jnp.zeros_like(alive)
+        vdst, in_volume, weight = _transmit(scene, c, alive, hit, weight, tr1, tr2)
         surf = alive & ~in_volume
 
         outgoing = -rd
         mp = get_material_point(scene, hit, attrs)
         normal = compute_shading_normal(scene, hit, attrs)
-        pos_surf = ro + rd * hit.dst[:, None]
-        pos_vol = ro + rd * vdst[:, None] if scene.any_volumetric else pos_surf
+        pos_surf = ro + rd * hit.dst
+        pos_vol = ro + rd * vdst if scene.any_volumetric else pos_surf
 
         # Surface emission.
         em_mask = surf & next_emission if is_direct else surf
-        radiance = radiance + jnp.where(em_mask[:, None], weight * mp.emission, 0.0)
+        radiance = radiance + v3.where(em_mask, weight * mp.emission, v3.zeros(B))
 
         delta = is_mat_delta(mp)
         nd = surf & ~delta
@@ -281,21 +267,23 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             lpdf = lights.sample_lights_pdf(
                 scene, pos_surf, ldir, ctx["eps"], ctx["Wl"]
             )
-            lf = bsdf.eval_bsdfcos(mp, normal, outgoing, ldir, scene.present_mat_types)
-            do_l = nd & _any3(lf) & (lpdf > 0.0)
+            lf = bsdf.eval_bsdfcos(
+                mp, normal, outgoing, ldir, scene.present_mat_types
+            )
+            do_l = nd & v3.all_nonzero(lf) & (lpdf > 0.0)
             n_traced = n_traced + nd.astype(jnp.int32)
             lhit, lattrs = intersect.closest_hit_attrs(
                 scene, pos_surf, ldir, ctx["eps"], W=ctx["W"]
             )
             l_em = get_material_point(scene, lhit, lattrs).emission
             if not scene.envs_empty:
-                l_em = jnp.where(
-                    lhit.hit[:, None], l_em, lights.sample_environments(scene, ldir)
+                l_em = v3.where(
+                    lhit.hit, l_em, lights.sample_environments(scene, ldir)
                 )
             else:
-                l_em = jnp.where(lhit.hit[:, None], l_em, 0.0)
-            radiance = radiance + jnp.where(
-                do_l[:, None], weight * lf * l_em / lpdf[:, None], 0.0
+                l_em = v3.where(lhit.hit, l_em, v3.zeros(B))
+            radiance = radiance + v3.where(
+                do_l, weight * lf * l_em * (1.0 / lpdf), v3.zeros(B)
             )
         if is_direct:
             next_emission = jnp.where(nd, False, jnp.where(dl, True, next_emission))
@@ -306,23 +294,23 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         )
         alive = alive & ~(nd & dead_nd)
         nd_ok = nd & ~dead_nd
-        weight = jnp.where(nd_ok[:, None], weight * f_nd, weight)
+        weight = v3.where(nd_ok, weight * f_nd, weight)
 
-        # Delta continuation.
+        # Delta continuation (statically absent without delta-capable types).
         state, rnl_d = rng_mod.next_f32(state)
         if scene.any_delta:
             inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d)
-            dead_d = _all3(inc_d)
+            dead_d = v3.all_zero(inc_d)
             alive = alive & ~(dl & dead_d)
             dl_ok = dl & ~dead_d
             f_d = bsdf.eval_delta(mp, normal, outgoing, inc_d) / jnp.maximum(
                 bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d), 0.0
-            )[:, None]
-            weight = jnp.where(dl_ok[:, None], weight * f_d, weight)
+            )
+            weight = v3.where(dl_ok, weight * f_d, weight)
         else:
-            inc_d = jnp.zeros_like(outgoing)
+            inc_d = v3.zeros(B)
 
-        incoming = jnp.where(dl[:, None], inc_d, inc_nd)
+        incoming = v3.where(dl, inc_d, inc_nd)
 
         # Volume slot toggle (pathtracer.wgsl:667-681).
         if scene.any_volumetric:
@@ -330,12 +318,12 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
                 surf
                 & alive
                 & is_mat_volumetric(mp)
-                & (bsdf.dot(normal, outgoing) * bsdf.dot(normal, incoming) < 0.0)
+                & (v3.dot(normal, outgoing) * v3.dot(normal, incoming) < 0.0)
             )
             push = crossing & (c["vol_len"] == 0)
             pop = crossing & (c["vol_len"] > 0)
-            vol_den = jnp.where(push[:, None], mp.density, c["vol_den"])
-            vol_sca = jnp.where(push[:, None], mp.scattering, c["vol_sca"])
+            vol_den = v3.where(push, mp.density, c["vol_den"])
+            vol_sca = v3.where(push, mp.scattering, c["vol_sca"])
             vol_aniso = jnp.where(push, mp.sc_anisotropy, c["vol_aniso"])
             vol_len = c["vol_len"] + push.astype(jnp.int32) - pop.astype(jnp.int32)
         else:
@@ -350,27 +338,26 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             )
             alive = alive & ~(in_volume & dead_v)
             v_ok = in_volume & ~dead_v
-            weight = jnp.where(v_ok[:, None], weight * f_v, weight)
-            incoming = jnp.where(in_volume[:, None], inc_v, incoming)
+            weight = v3.where(v_ok, weight * f_v, weight)
+            incoming = v3.where(in_volume, inc_v, incoming)
         # (pathtrace_direct leaves next_emission untouched in its volume
         # branch, pathtracer.wgsl:1199-1229.)
 
-        new_ro = jnp.where(in_volume[:, None], pos_vol, pos_surf)
-        upd = alive[:, None]
-        ro = jnp.where(upd, new_ro, ro)
-        rd = jnp.where(upd, incoming, rd)
+        new_ro = v3.where(in_volume, pos_vol, pos_surf)
+        ro = v3.where(alive, new_ro, ro)
+        rd = v3.where(alive, incoming, rd)
 
         # Weight viability (pathtracer.wgsl:719).
-        alive = alive & ~_all3(weight) & _finite3(weight)
+        alive = alive & ~v3.all_zero(weight) & v3.is_finite(weight)
 
         # Russian roulette after bounce 3 (pathtracer.wgsl:724-729).
         state, rr = rng_mod.next_f32(state)
         rr_on = alive & (c["bounce"] > 3)
-        survive = jnp.minimum(0.99, jnp.max(weight, axis=-1))
+        survive = jnp.minimum(0.99, v3.max_comp(weight))
         alive = alive & ~(rr_on & (rr >= survive))
-        weight = jnp.where(
-            (rr_on & (rr < survive))[:, None],
-            weight / jnp.maximum(survive, 1e-12)[:, None],
+        weight = v3.where(
+            rr_on & (rr < survive),
+            weight / jnp.maximum(survive, 1e-12),
             weight,
         )
 
@@ -400,18 +387,18 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
     bounce traces two strategy rays (plain closest-hit, no alpha skip —
     matching the reference's use of ray_scene_intersection there)."""
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
 
     init = dict(
         bounce=jnp.int32(0),
         ro=ro,
         rd=rd,
         state=state,
-        weight=jnp.ones((B, 3), jnp.float32),
-        radiance=jnp.zeros((B, 3), jnp.float32),
+        weight=v3.full(B, 1.0),
+        radiance=v3.zeros(B),
         alive=jnp.ones(B, bool),
-        vol_den=jnp.zeros((B, 3), jnp.float32),
-        vol_sca=jnp.zeros((B, 3), jnp.float32),
+        vol_den=v3.zeros(B),
+        vol_sca=v3.zeros(B),
         vol_aniso=jnp.zeros(B, jnp.float32),
         vol_len=jnp.zeros(B, jnp.int32),
         next_emission=jnp.ones(B, bool),
@@ -428,10 +415,11 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         weight, radiance = c["weight"], c["radiance"]
         state = c["state"]
         next_emission = c["next_emission"]
+        types = scene.present_mat_types
 
+        n_traced = c["n_traced"] + alive.astype(jnp.int32)
         # Alpha skip applies only when the previous bounce requested a fresh
         # emission-carrying ray (pathtracer.wgsl:751-756).
-        n_traced = c["n_traced"] + alive.astype(jnp.int32)
         hit, attrs, state = ray_skip_alpha(
             scene, ctx, ro, rd, state, alive & next_emission
         )
@@ -439,46 +427,35 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         miss_m = alive & ~hit.hit
         if not scene.envs_empty:
             env = lights.sample_environments(scene, rd)
-            radiance = radiance + jnp.where(miss_m[:, None], weight * env, 0.0)
+            radiance = radiance + v3.where(miss_m, weight * env, v3.zeros(B))
         alive = alive & hit.hit
         n_bounces = c["n_bounces"] + alive.astype(jnp.int32)
 
         state, tr1 = rng_mod.next_f32(state)
         state, tr2 = rng_mod.next_f32(state)
-        if scene.any_volumetric:
-            in_med = alive & (c["vol_len"] > 0)
-            vdst = bsdf.sample_transmittance(c["vol_den"], hit.dst, tr1, tr2)
-            t_w = bsdf.eval_transmittance(c["vol_den"], vdst) / jnp.maximum(
-                bsdf.sample_transmittance_pdf(c["vol_den"], vdst, hit.dst), 1e-30
-            )[:, None]
-            weight = jnp.where(in_med[:, None], weight * t_w, weight)
-            in_volume = in_med & (vdst < hit.dst)
-        else:
-            vdst = hit.dst
-            in_volume = jnp.zeros_like(alive)
+        vdst, in_volume, weight = _transmit(scene, c, alive, hit, weight, tr1, tr2)
         surf = alive & ~in_volume
 
         outgoing = -rd
         mp = get_material_point(scene, hit, attrs)
         normal = compute_shading_normal(scene, hit, attrs)
-        pos_surf = ro + rd * hit.dst[:, None]
-        pos_vol = ro + rd * vdst[:, None] if scene.any_volumetric else pos_surf
+        pos_surf = ro + rd * hit.dst
+        pos_vol = ro + rd * vdst if scene.any_volumetric else pos_surf
 
         em_mask = surf & next_emission
-        radiance = radiance + jnp.where(em_mask[:, None], weight * mp.emission, 0.0)
+        radiance = radiance + v3.where(em_mask, weight * mp.emission, v3.zeros(B))
 
         delta = is_mat_delta(mp)
         nd = surf & ~delta
         dl = surf & delta
 
         # --- MIS direct lighting: strategy 0 = BSDF, strategy 1 = light ---
-        types = scene.present_mat_types
         state, rnl = rng_mod.next_f32(state)
         state, rx, ry = rng_mod.next_vec2(state)
         bdir = bsdf.sample_bsdfcos(mp, normal, outgoing, rnl, rx, ry, types)
         state, ldir = lights.sample_lights(scene, pos_surf, outgoing, state)
-        b_ok = _any3(bdir)
-        l_ok = _any3(ldir)
+        b_ok = v3.any_nonzero(bdir)
+        l_ok = v3.any_nonzero(ldir)
 
         def strategy(mdir, is_light, active):
             f = bsdf.eval_bsdfcos(mp, normal, outgoing, mdir, types)
@@ -490,20 +467,17 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
                 mw = bsdf.mis_heuristic(bp, lp) / jnp.maximum(bp, 1e-30)
             # Reference gate: all(bsdfcos != 0) && mis_weight != 0
             # (pathtracer.wgsl:790).
-            go = active & jnp.all(f != 0.0, axis=-1) & (mw != 0.0)
+            go = active & v3.all_nonzero(f) & (mw != 0.0)
             mhit, mattrs = intersect.closest_hit_attrs(
                 scene, pos_surf, mdir, ctx["eps"], W=ctx["W"]
             )
             em = get_material_point(scene, mhit, mattrs).emission
             if not scene.envs_empty:
-                em = jnp.where(
-                    mhit.hit[:, None], em, lights.sample_environments(scene, mdir)
-                )
+                em = v3.where(mhit.hit, em, lights.sample_environments(scene, mdir))
             else:
-                em = jnp.where(mhit.hit[:, None], em, 0.0)
-            contrib = weight * f * em * mw[:, None]
-            contrib = jnp.nan_to_num(contrib, nan=0.0, posinf=0.0, neginf=0.0)
-            return jnp.where(go[:, None], contrib, 0.0)
+                em = v3.where(mhit.hit, em, v3.zeros(B))
+            contrib = v3.nan_to_zero(weight * f * em * mw)
+            return v3.where(go, contrib, v3.zeros(B))
 
         n_traced = n_traced + (nd & b_ok).astype(jnp.int32)
         radiance = radiance + strategy(bdir, False, nd & b_ok)
@@ -517,39 +491,39 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         bp_ind = bsdf.sample_bsdfcos_pdf(mp, normal, outgoing, bdir, types)
         f_ind = bsdf.eval_bsdfcos(mp, normal, outgoing, bdir, types) / jnp.maximum(
             bp_ind, 0.0
-        )[:, None]
+        )
         nd_ok = nd & b_ok
-        weight = jnp.where(nd_ok[:, None], weight * f_ind, weight)
+        weight = v3.where(nd_ok, weight * f_ind, weight)
         next_emission = jnp.where(nd, False, next_emission)
 
         # Delta continuation.
         state, rnl_d = rng_mod.next_f32(state)
         if scene.any_delta:
             inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d)
-            dead_d = _all3(inc_d)
+            dead_d = v3.all_zero(inc_d)
             alive = alive & ~(dl & dead_d)
             dl_ok = dl & ~dead_d
             f_d = bsdf.eval_delta(mp, normal, outgoing, inc_d) / jnp.maximum(
                 bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d), 0.0
-            )[:, None]
-            weight = jnp.where(dl_ok[:, None], weight * f_d, weight)
+            )
+            weight = v3.where(dl_ok, weight * f_d, weight)
         else:
-            inc_d = jnp.zeros_like(outgoing)
+            inc_d = v3.zeros(B)
         next_emission = jnp.where(dl, True, next_emission)
 
-        incoming = jnp.where(dl[:, None], inc_d, bdir)
+        incoming = v3.where(dl, inc_d, bdir)
 
         if scene.any_volumetric:
             crossing = (
                 surf
                 & alive
                 & is_mat_volumetric(mp)
-                & (bsdf.dot(normal, outgoing) * bsdf.dot(normal, incoming) < 0.0)
+                & (v3.dot(normal, outgoing) * v3.dot(normal, incoming) < 0.0)
             )
             push = crossing & (c["vol_len"] == 0)
             pop = crossing & (c["vol_len"] > 0)
-            vol_den = jnp.where(push[:, None], mp.density, c["vol_den"])
-            vol_sca = jnp.where(push[:, None], mp.scattering, c["vol_sca"])
+            vol_den = v3.where(push, mp.density, c["vol_den"])
+            vol_sca = v3.where(push, mp.scattering, c["vol_sca"])
             vol_aniso = jnp.where(push, mp.sc_anisotropy, c["vol_aniso"])
             vol_len = c["vol_len"] + push.astype(jnp.int32) - pop.astype(jnp.int32)
         else:
@@ -563,24 +537,23 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
             )
             alive = alive & ~(in_volume & dead_v)
             v_ok = in_volume & ~dead_v
-            weight = jnp.where(v_ok[:, None], weight * f_v, weight)
-            incoming = jnp.where(in_volume[:, None], inc_v, incoming)
+            weight = v3.where(v_ok, weight * f_v, weight)
+            incoming = v3.where(in_volume, inc_v, incoming)
             next_emission = jnp.where(in_volume, True, next_emission)
 
-        new_ro = jnp.where(in_volume[:, None], pos_vol, pos_surf)
-        upd = alive[:, None]
-        ro = jnp.where(upd, new_ro, ro)
-        rd = jnp.where(upd, incoming, rd)
+        new_ro = v3.where(in_volume, pos_vol, pos_surf)
+        ro = v3.where(alive, new_ro, ro)
+        rd = v3.where(alive, incoming, rd)
 
-        alive = alive & ~_all3(weight) & _finite3(weight)
+        alive = alive & ~v3.all_zero(weight) & v3.is_finite(weight)
 
         state, rr = rng_mod.next_f32(state)
         rr_on = alive & (c["bounce"] > 3)
-        survive = jnp.minimum(0.99, jnp.max(weight, axis=-1))
+        survive = jnp.minimum(0.99, v3.max_comp(weight))
         alive = alive & ~(rr_on & (rr >= survive))
-        weight = jnp.where(
-            (rr_on & (rr < survive))[:, None],
-            weight / jnp.maximum(survive, 1e-12)[:, None],
+        weight = v3.where(
+            rr_on & (rr < survive),
+            weight / jnp.maximum(survive, 1e-12),
             weight,
         )
 
@@ -605,12 +578,12 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
     return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
 
 
-def clamp_radiance(radiance, max_radiance):
+def clamp_radiance(radiance: V3, max_radiance) -> V3:
     """Firefly control (pathtracer.wgsl:1774-1783)."""
 
-    finite = _finite3(radiance)
-    radiance = jnp.where(finite[:, None], radiance, 0.0)
-    peak = jnp.max(radiance, axis=-1)
+    finite = v3.is_finite(radiance)
+    radiance = v3.where(finite, radiance, v3.zeros(radiance.x.shape))
+    peak = v3.max_comp(radiance)
     over = peak > max_radiance
     scale = jnp.where(over, max_radiance / jnp.maximum(peak, 1e-20), 1.0)
-    return radiance * scale[:, None]
+    return radiance * scale

@@ -9,20 +9,24 @@ bvh_custom.wgsl:112-152) with one dense MXU pass over ALL light triangles:
 every valid intersection contributes dist^2/(cos * area) — the exact sum the
 march approximates (the march skips hits closer than 1 unit apart,
 bvh_custom.wgsl:145; the dense sum has no such gap).
+
+All direction/position batches are component-wise V3.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
+from ..core import vec3 as v3
 from ..core.rng import PI
+from ..core.vec3 import V3
 from ..kernels import intersect
 from ..kernels.texture import sample_texture
-from .bsdf import dot, normalize
 
 
-def _alias_pick(offset, size, prob_arr, thresh_arr, alias_arr, r_bin, r_thresh):
+def _alias_pick(offset, size, thresh_arr, alias_arr, r_bin, r_thresh):
     """Batched alias-table sample: bin index within [0, size) then threshold
     test (pathtracer.wgsl:2610-2638)."""
 
@@ -33,67 +37,71 @@ def _alias_pick(offset, size, prob_arr, thresh_arr, alias_arr, r_bin, r_thresh):
     return jnp.where(take_alias, alias_arr[gi], idx)
 
 
-def env_dir_to_uv(scene, e: int, d):
+def env_dir_to_uv(scene, e: int, d: V3):
     """dir_to_env_uv (pathtracer.wgsl:2579-2588): inverse-rotate then
     lat-long; u wrapped into [0,1)."""
 
-    rot = scene.env_rot[e]  # (3,3) column basis
-    td = normalize(d @ rot)  # M^T * d per lane
-    u = jnp.arctan2(td[..., 2], td[..., 0]) / (2.0 * PI)
-    v = jnp.arccos(jnp.clip(td[..., 1], -1.0, 1.0)) / PI
+    rot = scene.env_rot[e]  # (3,3) column basis; inverse = dot with columns
+    tx = rot[0, 0] * d.x + rot[1, 0] * d.y + rot[2, 0] * d.z
+    ty = rot[0, 1] * d.x + rot[1, 1] * d.y + rot[2, 1] * d.z
+    tz = rot[0, 2] * d.x + rot[1, 2] * d.y + rot[2, 2] * d.z
+    td = v3.normalize(V3(tx, ty, tz))
+    u = jnp.arctan2(td.z, td.x) / (2.0 * PI)
+    v = jnp.arccos(jnp.clip(td.y, -1.0, 1.0)) / PI
     u = jnp.where(u < 0.0, u + 1.0, u)
     u = jnp.where(u > 1.0, u - 1.0, u)
     return u, v
 
 
-def env_uv_to_dir(scene, e: int, u, v):
+def env_uv_to_dir(scene, e: int, u, v) -> V3:
     """env_uv_to_dir (pathtracer.wgsl:2598-2605)."""
 
-    local = jnp.stack(
-        [
-            jnp.cos(u * 2.0 * PI) * jnp.sin(v * PI),
-            jnp.cos(v * PI),
-            jnp.sin(u * 2.0 * PI) * jnp.sin(v * PI),
-        ],
-        axis=-1,
-    )
+    lx = jnp.cos(u * 2.0 * PI) * jnp.sin(v * PI)
+    ly = jnp.cos(v * PI)
+    lz = jnp.sin(u * 2.0 * PI) * jnp.sin(v * PI)
     rot = scene.env_rot[e]
-    return normalize(local @ rot.T)
+    return v3.normalize(
+        V3(
+            rot[0, 0] * lx + rot[0, 1] * ly + rot[0, 2] * lz,
+            rot[1, 0] * lx + rot[1, 1] * ly + rot[1, 2] * lz,
+            rot[2, 0] * lx + rot[2, 1] * ly + rot[2, 2] * lz,
+        )
+    )
 
 
-def sample_environment(scene, e: int, d):
+def sample_environment(scene, e: int, d: V3) -> V3:
     """One environment's emission along d (pathtracer.wgsl:1400-1410)."""
 
     em = scene.env_emission[e]
     ti = scene.env_tex[e]
     u, v = env_dir_to_uv(scene, e, d)
-    tex = sample_texture(scene, jnp.broadcast_to(ti, u.shape), u, v)[..., :3]
-    return em * tex
+    rgb, _ = sample_texture(scene, jnp.broadcast_to(ti, u.shape), u, v)
+    return rgb * V3(em[0], em[1], em[2])
 
 
-def sample_environments(scene, d):
+def sample_environments(scene, d: V3) -> V3:
     """Sum over all environments (pathtracer.wgsl:1386-1397)."""
 
+    out = v3.zeros(d.x.shape)
     if scene.envs_empty:
-        return jnp.zeros_like(d)
-    out = jnp.zeros_like(d)
+        return out
     for e in range(scene.num_envs):
         out = out + sample_environment(scene, e, d)
     return out
 
 
-def sample_lights(scene, pos, outgoing, state):
+def sample_lights(scene, pos: V3, outgoing: V3, state):
     """Uniformly pick among mesh lights + envs, then sample a direction
     (pathtracer.wgsl:2468-2514). Consumes a fixed number of uniforms per
     lane (each lane is an independent PCG stream, so per-branch draw counts
     need not match the reference's serial stream)."""
 
-    B = pos.shape[0]
+    B = pos.x.shape[0]
     num_lights = 0 if scene.lights_empty else scene.num_lights
     num_envs = 0 if scene.envs_empty else scene.num_envs
     total = num_lights + num_envs
     if total == 0:
-        return state, jnp.zeros_like(pos)
+        return state, v3.zeros(B)
 
     state, pick = rng_mod.next_u32_range(state, total)
     pick = pick.astype(jnp.int32)
@@ -101,27 +109,25 @@ def sample_lights(scene, pos, outgoing, state):
     state, r_thr = rng_mod.next_f32(state)
     state, ra, rb = rng_mod.next_vec2(state)
 
-    out = jnp.zeros_like(pos)
+    out = v3.zeros(B)
 
     if num_lights > 0:
         li = jnp.clip(pick, 0, num_lights - 1)
         off = scene.light_alias_offset[li]
         size = scene.light_alias_size[li]
-        tri = _alias_pick(
-            off, size, scene.la_prob, scene.la_thresh, scene.la_alias, r_bin, r_thr
-        )
+        tri = _alias_pick(off, size, scene.la_thresh, scene.la_alias, r_bin, r_thr)
         # Uniform triangle uv (pathtracer.wgsl:1672-1676) reusing (ra, rb).
         s = jnp.sqrt(ra)
         tu = 1.0 - s
         tv = rb * s
         gt = scene.light_tri_offset[li] + tri
         p = (
-            scene.lt_v0[gt]
-            + scene.lt_e1[gt] * tu[:, None]
-            + scene.lt_e2[gt] * tv[:, None]
+            v3.gather(scene.lt_v0, gt)
+            + v3.gather(scene.lt_e1, gt) * tu
+            + v3.gather(scene.lt_e2, gt) * tv
         )
-        mesh_dir = normalize(p - pos)
-        out = jnp.where((pick < num_lights)[:, None], mesh_dir, out)
+        mesh_dir = v3.normalize(p - pos)
+        out = v3.where(pick < num_lights, mesh_dir, out)
 
     for e in range(num_envs):
         sel = pick == num_lights + e
@@ -132,7 +138,6 @@ def sample_lights(scene, pos, outgoing, state):
         pix = _alias_pick(
             jnp.broadcast_to(off, (B,)),
             jnp.broadcast_to(size, (B,)),
-            scene.ea_prob,
             scene.ea_thresh,
             scene.ea_alias,
             r_bin,
@@ -145,31 +150,64 @@ def sample_lights(scene, pos, outgoing, state):
         z = 2.0 * rb - 1.0
         r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
         phi = 2.0 * PI * ra
-        sphere_dir = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
-        env_dir = jnp.where(
-            jnp.broadcast_to(scene.env_tex[e] >= 0, sel.shape)[:, None],
-            tex_dir,
-            sphere_dir,
+        sphere_dir = V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+        env_dir = v3.where(
+            jnp.broadcast_to(scene.env_tex[e] >= 0, sel.shape), tex_dir, sphere_dir
         )
-        out = jnp.where(sel[:, None], env_dir, out)
+        out = v3.where(sel, env_dir, out)
 
     return state, out
 
 
-def compute_instance_lights_pdf(scene, pos, incoming, eps, Wl=None):
+def light_tri_matrix(scene):
+    return intersect.build_tri_matrix(scene.lt_v0, scene.lt_e1, scene.lt_e2)
+
+
+def compute_instance_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
     """Geometric pdf over all mesh lights: dense all-hits sum
     (replaces bvh_custom.wgsl:112-152's per-light closest-hit march)."""
 
+    B = pos.x.shape[0]
     if scene.lights_empty:
-        return jnp.zeros(pos.shape[0], jnp.float32)
+        return jnp.zeros(B, jnp.float32)
+
+    Tl = scene.lt_v0.shape[1]
+    if Tl <= 32:
+        # Few light triangles (the common case): unrolled per-tri lane math
+        # avoids (B, Tl) minor-dim-padded intermediates entirely.
+        pdf = jnp.zeros(B, jnp.float32)
+        for i in range(Tl):
+            tv0 = V3(scene.lt_v0[0, i], scene.lt_v0[1, i], scene.lt_v0[2, i])
+            te1 = V3(scene.lt_e1[0, i], scene.lt_e1[1, i], scene.lt_e1[2, i])
+            te2 = V3(scene.lt_e2[0, i], scene.lt_e2[1, i], scene.lt_e2[2, i])
+            t, _, _, _ = intersect._ray_tri(pos, incoming, tv0, te1, te2, eps)
+            valid = t < intersect.F32_MAX
+            n = v3.cross(te1, te2)
+            n_hat = v3.normalize(n)
+            cos_theta = jnp.abs(v3.dot(incoming, n_hat))
+            area = scene.light_area[scene.lt_light[i]]
+            pdf = pdf + jnp.where(
+                valid, (t * t) / jnp.maximum(cos_theta * area, 1e-20), 0.0
+            )
+        return pdf
+
     if Wl is None:
         Wl = light_tri_matrix(scene)
     R = intersect.ray_features(pos, incoming)
     t, _, _, _ = intersect.dense_tuv(R, Wl, eps)
     valid = t < intersect.F32_MAX
-    n = jnp.cross(scene.lt_e1, scene.lt_e2)  # (Tl,3); geom normal direction
-    n_hat = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    cos_theta = jnp.abs(incoming @ n_hat.T)  # (B,Tl)
+    # Per-tri geometric normal direction n = cross(e1, e2); abs makes the
+    # reference's opposite orientation irrelevant (bvh_custom.wgsl:142).
+    e1 = v3.from_t3(scene.lt_e1)
+    e2 = v3.from_t3(scene.lt_e2)
+    n = v3.cross(e1, e2)
+    n_hat = v3.normalize(n)
+    nT = jnp.stack([n_hat.x, n_hat.y, n_hat.z], axis=0)  # (3, Tl)
+    cos_theta = jnp.abs(
+        incoming.x[:, None] * nT[0][None, :]
+        + incoming.y[:, None] * nT[1][None, :]
+        + incoming.z[:, None] * nT[2][None, :]
+    )
     area = scene.light_area[scene.lt_light]  # (Tl,)
     contrib = jnp.where(
         valid, (t * t) / jnp.maximum(cos_theta * area[None, :], 1e-20), 0.0
@@ -177,18 +215,15 @@ def compute_instance_lights_pdf(scene, pos, incoming, eps, Wl=None):
     return jnp.sum(contrib, axis=-1)
 
 
-def light_tri_matrix(scene):
-    return intersect.build_tri_matrix(scene.lt_v0, scene.lt_e1, scene.lt_e2)
-
-
-def sample_lights_pdf(scene, pos, incoming, eps, Wl=None):
+def sample_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
     """pathtracer.wgsl:2516-2549."""
 
+    B = pos.x.shape[0]
     num_lights = 0 if scene.lights_empty else scene.num_lights
     num_envs = 0 if scene.envs_empty else scene.num_envs
     total = num_lights + num_envs
     if total == 0:
-        return jnp.zeros(pos.shape[0], jnp.float32)
+        return jnp.zeros(B, jnp.float32)
 
     pdf = compute_instance_lights_pdf(scene, pos, incoming, eps, Wl)
 

@@ -5,12 +5,12 @@ compute_shading_normal (:1344-1384), tangent frames (:1692-1727), vertex
 attribute fallbacks (:1729-1770) and the delta/volumetric predicates
 (:1418-1441).
 
-The reference chases index->vertex->instance->matrix chains per hit; here
-every per-triangle quantity (world-space vertex normals, geometric normal,
-UVs, vertex colors, tangent frame, material id) is baked into the
-world-triangle soup at flatten time, so a hit shades with one gather per
-attribute. Pre-transforming vertex normals by the inverse-transpose is
-exact because barycentric interpolation commutes with the linear map.
+Two data paths feed a hit's attributes:
+- dense Pallas path: the intersector returns the winning triangle's packed
+  attribute matrix row, transposed to (ATTR_WIDTH, B) so each attribute is
+  one lane-major (B,) row slice;
+- BVH path: gathers from the component-major (k, Tw) world-triangle tables.
+All vectors/colors are component-wise V3 batches (core/vec3.py).
 """
 
 from __future__ import annotations
@@ -19,6 +19,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.types import MaterialType, MIN_ROUGHNESS
+from ..core import vec3 as v3
+from ..core.vec3 import V3
+from ..kernels import pallas_intersect as pk
 from ..kernels.texture import sample_texture, srgb_to_linear
 
 
@@ -27,133 +30,150 @@ class MaterialPoint:
     """Evaluated material sample (pathtracer.wgsl:1247-1261), batched."""
 
     mat_type: jnp.ndarray  # (B,) i32
-    emission: jnp.ndarray  # (B,3)
-    color: jnp.ndarray  # (B,3)
+    emission: V3
+    color: V3
     opacity: jnp.ndarray  # (B,)
     roughness: jnp.ndarray  # (B,)
     metallic: jnp.ndarray  # (B,)
     ior: jnp.ndarray  # (B,)
-    density: jnp.ndarray  # (B,3)
-    scattering: jnp.ndarray  # (B,3)
+    density: V3
+    scattering: V3
     sc_anisotropy: jnp.ndarray  # (B,)
     tr_depth: jnp.ndarray  # (B,)
 
 
-def _interp2(a0, a1, a2, u, v):
+def _interp(a0, a1, a2, u, v):
     w = 1.0 - u - v
-    return a0 * w[:, None] + a1 * u[:, None] + a2 * v[:, None]
+    return a0 * w + a1 * u + a2 * v
 
 
-def _normalize(v, eps=1e-20):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def _a_v3(attrs, sl) -> V3:
+    return V3(attrs[sl.start], attrs[sl.start + 1], attrs[sl.start + 2])
+
+
+def _a_v2(attrs, sl):
+    return attrs[sl.start], attrs[sl.start + 1]
+
+
+def _a_v4(attrs, sl):
+    return (
+        V3(attrs[sl.start], attrs[sl.start + 1], attrs[sl.start + 2]),
+        attrs[sl.start + 3],
+    )
 
 
 def hit_texcoords(scene, hit, attrs=None):
-    """Interpolated UVs + per-lane availability flag."""
+    """Interpolated UVs + per-lane availability flag; returns (u, v, has)."""
 
     B = hit.u.shape[0]
     if not scene.any_uv:
-        return jnp.zeros((B, 2), jnp.float32), jnp.zeros(B, bool)
+        z = jnp.zeros(B, jnp.float32)
+        return z, z, jnp.zeros(B, bool)
     if attrs is not None:
-        from ..kernels import pallas_intersect as pk
-
-        uv = _interp2(
-            attrs[:, pk.ATTR_UV0],
-            attrs[:, pk.ATTR_UV1],
-            attrs[:, pk.ATTR_UV2],
-            hit.u,
-            hit.v,
-        )
-        return uv, attrs[:, pk.ATTR_HAS_UV] > 0
-    t = hit.tri
-    uv = _interp2(scene.wt_uv0[t], scene.wt_uv1[t], scene.wt_uv2[t], hit.u, hit.v)
-    return uv, scene.wt_has_uv[t] > 0
+        u0, v0 = _a_v2(attrs, pk.ATTR_UV0)
+        u1, v1 = _a_v2(attrs, pk.ATTR_UV1)
+        u2, v2 = _a_v2(attrs, pk.ATTR_UV2)
+        has = attrs[pk.ATTR_HAS_UV] > 0
+    else:
+        t = hit.tri
+        u0, v0 = scene.wt_uv0[0][t], scene.wt_uv0[1][t]
+        u1, v1 = scene.wt_uv1[0][t], scene.wt_uv1[1][t]
+        u2, v2 = scene.wt_uv2[0][t], scene.wt_uv2[1][t]
+        has = scene.wt_has_uv[t] > 0
+    return (
+        _interp(u0, u1, u2, hit.u, hit.v),
+        _interp(v0, v1, v2, hit.u, hit.v),
+        has,
+    )
 
 
 def _mat_fields(scene, hit, attrs):
-    """Per-lane material row: from the packed attrs when available (dense
-    Pallas path), else via gathers (BVH path)."""
+    """Per-lane material row (dense: packed attrs; BVH: gathers)."""
 
     if attrs is not None:
-        from ..kernels import pallas_intersect as pk
-
+        color_rgb, color_a = _a_v4(attrs, pk.ATTR_MAT_COLOR)
         return dict(
-            base_color=attrs[:, pk.ATTR_MAT_COLOR],
-            emission=attrs[:, pk.ATTR_MAT_EMISSION],
-            scattering=attrs[:, pk.ATTR_MAT_SCATTERING],
-            mtype=attrs[:, pk.ATTR_MAT_TYPE].astype(jnp.int32),
-            roughness=attrs[:, pk.ATTR_MAT_ROUGHNESS],
-            metallic=attrs[:, pk.ATTR_MAT_METALLIC],
-            ior=attrs[:, pk.ATTR_MAT_IOR],
-            aniso=attrs[:, pk.ATTR_MAT_ANISO],
-            tr_depth=attrs[:, pk.ATTR_MAT_TRDEPTH],
-            tex=attrs[:, pk.ATTR_MAT_TEX].astype(jnp.int32),
+            base_color=color_rgb,
+            base_alpha=color_a,
+            emission=_a_v3(attrs, pk.ATTR_MAT_EMISSION),
+            scattering=_a_v3(attrs, pk.ATTR_MAT_SCATTERING),
+            mtype=attrs[pk.ATTR_MAT_TYPE].astype(jnp.int32),
+            roughness=attrs[pk.ATTR_MAT_ROUGHNESS],
+            metallic=attrs[pk.ATTR_MAT_METALLIC],
+            ior=attrs[pk.ATTR_MAT_IOR],
+            aniso=attrs[pk.ATTR_MAT_ANISO],
+            tr_depth=attrs[pk.ATTR_MAT_TRDEPTH],
+            tex=[
+                attrs[pk.ATTR_MAT_TEX.start + k].astype(jnp.int32)
+                for k in range(5)
+            ],
         )
     mat = scene.wt_mat[hit.tri]
     return dict(
-        base_color=scene.mat_color[mat],
-        emission=scene.mat_emission[mat],
-        scattering=scene.mat_scattering[mat],
+        base_color=V3(
+            scene.mat_color[0][mat], scene.mat_color[1][mat], scene.mat_color[2][mat]
+        ),
+        base_alpha=scene.mat_color[3][mat],
+        emission=v3.gather(scene.mat_emission, mat),
+        scattering=v3.gather(scene.mat_scattering, mat),
         mtype=scene.mat_type[mat],
         roughness=scene.mat_roughness[mat],
         metallic=scene.mat_metallic[mat],
         ior=scene.mat_ior[mat],
         aniso=scene.mat_sc_anisotropy[mat],
         tr_depth=scene.mat_tr_depth[mat],
-        tex=scene.mat_tex[mat],
+        tex=[scene.mat_tex[k][mat] for k in range(5)],
     )
 
 
 def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
     mf = _mat_fields(scene, hit, attrs)
-    uv, has_uv = hit_texcoords(scene, hit, attrs)
-
-    u, v = uv[:, 0], uv[:, 1]
+    u, v, has_uv = hit_texcoords(scene, hit, attrs)
+    B = hit.u.shape[0]
     use_tex = scene.num_textures > 0 and scene.any_uv  # static gate
 
     def tex_sample(slot):
         # Texture fetches only apply when the mesh has texcoords
         # (pathtracer.wgsl:1285-1311).
         if not use_tex:
-            return jnp.ones((u.shape[0], 4), jnp.float32)
-        ti = jnp.where(has_uv, mf["tex"][:, slot], -1)
+            ones = jnp.ones(B, jnp.float32)
+            return V3(ones, ones, ones), ones
+        ti = jnp.where(has_uv, mf["tex"][slot], -1)
         return sample_texture(scene, ti, u, v)
 
-    color_sample = tex_sample(0)
+    color_rgb, color_a = tex_sample(0)
     if use_tex:
-        color_sample = jnp.concatenate(
-            [srgb_to_linear(color_sample[:, :3]), color_sample[:, 3:4]], axis=-1
-        )
-    emission_sample = tex_sample(1)[:, :3]
-    rm_sample = tex_sample(2)
-    roughness_sample = rm_sample[:, 1]  # green channel
-    metallic_sample = rm_sample[:, 2]  # blue channel
-    scattering_sample = tex_sample(3)[:, :3]
+        color_rgb = srgb_to_linear(color_rgb)
+    emission_rgb, _ = tex_sample(1)
+    rm_rgb, _ = tex_sample(2)
+    roughness_sample = rm_rgb.y  # green channel
+    metallic_sample = rm_rgb.z  # blue channel
+    scattering_rgb, _ = tex_sample(3)
 
     if scene.any_vert_colors:
         if attrs is not None:
-            from ..kernels import pallas_intersect as pk
-
-            vert_color = _interp2(
-                attrs[:, pk.ATTR_C0],
-                attrs[:, pk.ATTR_C1],
-                attrs[:, pk.ATTR_C2],
-                hit.u,
-                hit.v,
-            )
+            c0, a0 = _a_v4(attrs, pk.ATTR_C0)
+            c1, a1 = _a_v4(attrs, pk.ATTR_C1)
+            c2, a2 = _a_v4(attrs, pk.ATTR_C2)
         else:
             t = hit.tri
-            vert_color = _interp2(
-                scene.wt_c0[t], scene.wt_c1[t], scene.wt_c2[t], hit.u, hit.v
-            )
+            c0 = v3.gather(scene.wt_c0, t)
+            a0 = scene.wt_c0[3][t]
+            c1 = v3.gather(scene.wt_c1, t)
+            a1 = scene.wt_c1[3][t]
+            c2 = v3.gather(scene.wt_c2, t)
+            a2 = scene.wt_c2[3][t]
+        w = 1.0 - hit.u - hit.v
+        vert_rgb = c0 * w + c1 * hit.u + c2 * hit.v
+        vert_a = _interp(a0, a1, a2, hit.u, hit.v)
     else:
-        vert_color = jnp.ones((u.shape[0], 4), jnp.float32)
+        vert_rgb = v3.full(B, 1.0)
+        vert_a = jnp.ones(B, jnp.float32)
 
-    base_color = mf["base_color"]
     mtype = mf["mtype"]
-    color = color_sample[:, :3] * base_color[:, :3] * vert_color[:, :3]
-    opacity = color_sample[:, 3] * base_color[:, 3] * vert_color[:, 3]
-    emission = emission_sample * mf["emission"]
+    color = color_rgb * mf["base_color"] * vert_rgb
+    opacity = color_a * mf["base_alpha"] * vert_a
+    emission = emission_rgb * mf["emission"]
     roughness = roughness_sample * mf["roughness"]
     roughness = roughness * roughness
     tr_depth = mf["tr_depth"]
@@ -163,14 +183,14 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
             | (mtype == MaterialType.VOLUMETRIC)
             | (mtype == MaterialType.SUBSURFACE)
         )
-        density = jnp.where(
-            is_dense_medium[:, None],
-            -jnp.log(jnp.clip(color, 1e-4, 1.0)) / tr_depth[:, None],
-            0.0,
+        density = v3.where(
+            is_dense_medium,
+            -v3.vlog(v3.vclip(color, 1e-4, 1.0)) / tr_depth,
+            v3.zeros(B),
         )
     else:
-        density = jnp.zeros_like(color)
-    scattering = scattering_sample * mf["scattering"]
+        density = v3.zeros(B)
+    scattering = scattering_rgb * mf["scattering"]
     metallic = metallic_sample * mf["metallic"]
 
     # Roughness cleanup rules (pathtracer.wgsl:1330-1339).
@@ -204,62 +224,54 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
     )
 
 
-def geometric_normal(scene, hit):
+def geometric_normal(scene, hit, attrs=None) -> V3:
     """compute_tri_geom_normal (pathtracer.wgsl:2561-2576), baked per-tri."""
 
-    return scene.wt_gn[hit.tri]
+    if attrs is not None:
+        return _a_v3(attrs, pk.ATTR_GN)
+    return v3.gather(scene.wt_gn, hit.tri)
 
 
-def compute_shading_normal(scene, hit, attrs=None):
+def compute_shading_normal(scene, hit, attrs=None) -> V3:
     """compute_shading_normal (pathtracer.wgsl:1344-1384): interpolate baked
     world-space vertex normals; optional UV-tangent-frame normal mapping."""
 
     if attrs is not None:
-        from ..kernels import pallas_intersect as pk
-
-        n = _normalize(
-            _interp2(
-                attrs[:, pk.ATTR_N0],
-                attrs[:, pk.ATTR_N1],
-                attrs[:, pk.ATTR_N2],
-                hit.u,
-                hit.v,
-            )
-        )
+        n0 = _a_v3(attrs, pk.ATTR_N0)
+        n1 = _a_v3(attrs, pk.ATTR_N1)
+        n2 = _a_v3(attrs, pk.ATTR_N2)
     else:
         t = hit.tri
-        n = _normalize(
-            _interp2(scene.wt_n0[t], scene.wt_n1[t], scene.wt_n2[t], hit.u, hit.v)
-        )
+        n0 = v3.gather(scene.wt_n0, t)
+        n1 = v3.gather(scene.wt_n1, t)
+        n2 = v3.gather(scene.wt_n2, t)
+    w = 1.0 - hit.u - hit.v
+    n = v3.normalize(n0 * w + n1 * hit.u + n2 * hit.v)
 
     if scene.any_normal_maps:  # statically absent without normal maps
-        from ..kernels import pallas_intersect as pk
-
-        uv, has_uv = hit_texcoords(scene, hit, attrs)
+        u, v2_, has_uv = hit_texcoords(scene, hit, attrs)
         if attrs is not None:
             ntex = jnp.where(
-                has_uv, attrs[:, pk.ATTR_MAT_TEX][:, 4].astype(jnp.int32), -1
+                has_uv, attrs[pk.ATTR_MAT_TEX.start + 4].astype(jnp.int32), -1
             )
-            tangent = attrs[:, pk.ATTR_TAN]
-            bitangent = attrs[:, pk.ATTR_BIT]
+            tangent = _a_v3(attrs, pk.ATTR_TAN)
+            bitangent = _a_v3(attrs, pk.ATTR_BIT)
         else:
             t = hit.tri
-            ntex = jnp.where(has_uv, scene.mat_tex[scene.wt_mat[t]][:, 4], -1)
-            tangent = scene.wt_tan[t]
-            bitangent = scene.wt_bit[t]
+            ntex = jnp.where(has_uv, scene.mat_tex[4][scene.wt_mat[t]], -1)
+            tangent = v3.gather(scene.wt_tan, t)
+            bitangent = v3.gather(scene.wt_bit, t)
         use_nm = ntex >= 0
-        nm_sample = sample_texture(scene, ntex, uv[:, 0], uv[:, 1])[:, :3]
-        n_tex = -1.0 + 2.0 * nm_sample
+        nm_rgb, _ = sample_texture(scene, ntex, u, v2_)
+        n_tex = nm_rgb * 2.0 - 1.0
         # Orthonormal frame: t' = orthonormalize(t, n), b' = normalize(n x t')
         # with bitangent-handedness flip (pathtracer.wgsl:1368-1379).
-        t_o = _normalize(tangent - n * jnp.sum(tangent * n, -1, keepdims=True))
-        b_o = _normalize(jnp.cross(n, t_o))
-        flip = jnp.sum(b_o * bitangent, -1) < 0.0
-        n_tex = jnp.where(flip[:, None], -n_tex, n_tex)
-        mapped = _normalize(
-            t_o * n_tex[:, 0:1] + b_o * n_tex[:, 1:2] + n * n_tex[:, 2:3]
-        )
-        n = jnp.where(use_nm[:, None], mapped, n)
+        t_o = v3.normalize(tangent - n * v3.dot(tangent, n))
+        b_o = v3.normalize(v3.cross(n, t_o))
+        flip = v3.dot(b_o, bitangent) < 0.0
+        n_tex = v3.where(flip, -n_tex, n_tex)
+        mapped = v3.normalize(t_o * n_tex.x + b_o * n_tex.y + n * n_tex.z)
+        n = v3.where(use_nm, mapped, n)
 
     return n
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import rng as rng_mod
+from ..core import vec3 as v3
 from ..core.types import (
     BakedPathtraceParams,
     FalsecolorType,
@@ -79,13 +80,21 @@ def _pixel_batch(tw, th, origin_x, origin_y):
     return gx, gy
 
 
-def _accumulate_and_store(image, color, gx, gy, accum_counter, accumulate):
-    """Progressive blend (pathtracer.wgsl:279-288) + bounds-dropped store."""
+def _accumulate_and_store(
+    image, color, gx, gy, accum_counter, accumulate, full_frame: bool = False
+):
+    """Progressive blend (pathtracer.wgsl:279-288) + bounds-dropped store.
+    Full-frame dispatches bypass the gather/scatter (identity mapping)."""
 
     color = jnp.maximum(color, 0.0)
-    prev = image[gy, gx]  # gathers clamp; blended values for OOB are dropped
     weight = 1.0 / jnp.maximum(accum_counter.astype(jnp.float32), 1.0)
     do_blend = accumulate & (accum_counter != 0)
+    if full_frame:
+        prev = image.reshape(-1, 3)
+        blended = jnp.maximum(prev * (1.0 - weight) + color * weight, 0.0)
+        out = jnp.where(do_blend, blended, color)
+        return out.reshape(image.shape)
+    prev = image[gy, gx]  # gathers clamp; blended values for OOB are dropped
     blended = jnp.maximum(prev * (1.0 - weight) + color * weight, 0.0)
     color = jnp.where(do_blend, blended, color)
     return image.at[gy, gx].set(color, mode="drop")
@@ -126,7 +135,6 @@ def _render_pathtrace(
     pixel_idx = (gy * W + gx).astype(jnp.uint32)
     resolution = (jnp.float32(W), jnp.float32(H))
     ctx = integrators.make_ctx(scene, ray_epsilon)
-    pix_xy = jnp.stack([gx, gy], axis=-1)
 
     def one_sample(s, acc):
         state = rng_mod.init_state(pixel_idx, accum_counter, rng_seed, s)
@@ -140,7 +148,8 @@ def _render_pathtrace(
             cam["focus"],
             cam["aperture"],
             is_ortho,
-            pix_xy,
+            gx,
+            gy,
             resolution,
             ox - 0.5,
             oy - 0.5,
@@ -151,11 +160,12 @@ def _render_pathtrace(
         )
         return acc + integrators.clamp_radiance(radiance, max_radiance)
 
-    acc = jax.lax.fori_loop(
-        0, spp, one_sample, jnp.zeros((tw * th, 3), jnp.float32)
+    acc = jax.lax.fori_loop(0, spp, one_sample, v3.zeros(tw * th))
+    color = v3.to_rows(acc / float(spp))
+    full = (tw, th) == (W, H)
+    return _accumulate_and_store(
+        image, color, gx, gy, accum_counter, accumulate, full_frame=full
     )
-    color = acc / float(spp)
-    return _accumulate_and_store(image, color, gx, gy, accum_counter, accumulate)
 
 
 def pathtrace_scene(
@@ -198,7 +208,7 @@ def _hash_color(idx):
     for _ in range(3):
         state, w = rng_mod.next_u32(state)
         outs.append(w.astype(jnp.float32) / jnp.float32(4294967295.0))
-    return jnp.stack(outs, axis=-1)
+    return v3.V3(*outs)
 
 
 def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
@@ -220,7 +230,7 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
             scene, ro, rd, ctx["eps"], W=ctx["W"]
         )
 
-    B = ro.shape[0]
+    B = ro.x.shape[0]
     if fc_type in (
         FalsecolorType.ALBEDO,
         FalsecolorType.EMISSION,
@@ -230,6 +240,9 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
         FalsecolorType.IS_DELTA,
     ):
         mp = get_material_point(scene, hit, attrs)
+    def gray(s_):
+        return v3.V3(s_, s_, s_)
+
     if fc_type == FalsecolorType.ALBEDO:
         col = mp.color
     elif fc_type == FalsecolorType.NORMALS:
@@ -237,26 +250,26 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
     elif fc_type == FalsecolorType.NORMALS_UNSIGNED:
         col = compute_shading_normal(scene, hit, attrs) * 0.5 + 0.5
     elif fc_type == FalsecolorType.FRONTFACING:
-        col = (~hit.backside).astype(jnp.float32)[:, None] * jnp.ones((B, 3))
+        col = gray((~hit.backside).astype(jnp.float32))
     elif fc_type == FalsecolorType.EMISSION:
         col = mp.emission
     elif fc_type == FalsecolorType.ROUGHNESS:
-        col = mp.roughness[:, None] * jnp.ones((B, 3))
+        col = gray(mp.roughness)
     elif fc_type == FalsecolorType.METALLIC:
-        col = mp.metallic[:, None] * jnp.ones((B, 3))
+        col = gray(mp.metallic)
     elif fc_type == FalsecolorType.OPACITY:
-        col = mp.opacity[:, None] * jnp.ones((B, 3))
+        col = gray(mp.opacity)
     elif fc_type == FalsecolorType.MAT_TYPE:
         col = _hash_color(scene.wt_mat[hit.tri])
     elif fc_type == FalsecolorType.IS_DELTA:
-        col = is_mat_delta(mp).astype(jnp.float32)[:, None] * jnp.ones((B, 3))
+        col = gray(is_mat_delta(mp).astype(jnp.float32))
     elif fc_type == FalsecolorType.INSTANCE:
         col = _hash_color(scene.wt_inst[hit.tri])
     elif fc_type == FalsecolorType.TRI:
         col = _hash_color(scene.wt_tri[hit.tri])
     else:
-        col = jnp.zeros((B, 3))
-    return jnp.where(hit.hit[:, None], col, 0.0), state
+        col = v3.zeros(B)
+    return v3.where(hit.hit, col, v3.zeros(B)), state
 
 
 @partial(
@@ -285,7 +298,6 @@ def _render_falsecolor(
     pixel_idx = (gy * W + gx).astype(jnp.uint32)
     resolution = (jnp.float32(W), jnp.float32(H))
     ctx = integrators.make_ctx(scene, ray_epsilon)
-    pix_xy = jnp.stack([gx, gy], axis=-1)
 
     def one_sample(s, acc):
         state = rng_mod.init_state(pixel_idx, accum_counter, rng_seed, s)
@@ -299,7 +311,8 @@ def _render_falsecolor(
             cam["focus"],
             cam["aperture"],
             is_ortho,
-            pix_xy,
+            gx,
+            gy,
             resolution,
             ox - 0.5,
             oy - 0.5,
@@ -308,9 +321,12 @@ def _render_falsecolor(
         col, state = _falsecolor_sample(scene, ctx, ro, rd, state, fc_type)
         return acc + col
 
-    acc = jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((tw * th, 3), jnp.float32))
-    color = acc / float(spp)
-    return _accumulate_and_store(image, color, gx, gy, accum_counter, accumulate)
+    acc = jax.lax.fori_loop(0, spp, one_sample, v3.zeros(tw * th))
+    color = v3.to_rows(acc / float(spp))
+    full = (tw, th) == (W, H)
+    return _accumulate_and_store(
+        image, color, gx, gy, accum_counter, accumulate, full_frame=full
+    )
 
 
 def pathtrace_scene_falsecolor(
@@ -424,7 +440,6 @@ def _render_debug(
     pixel_idx = (gy * W + gx).astype(jnp.uint32)
     resolution = (jnp.float32(W), jnp.float32(H))
     ctx = integrators.make_ctx(scene, ray_epsilon)
-    pix_xy = jnp.stack([gx, gy], axis=-1)
 
     state = rng_mod.init_state(pixel_idx, accum_counter, rng_seed, 0)
     state, ox = rng_mod.next_f32(state)
@@ -437,7 +452,8 @@ def _render_debug(
         cam["focus"],
         cam["aperture"],
         is_ortho,
-        pix_xy,
+        gx,
+        gy,
         resolution,
         ox - 0.5,
         oy - 0.5,
@@ -458,7 +474,10 @@ def _render_debug(
         )
 
     color = get_heatmap_color(val, heatmap_min, heatmap_max)
-    return _accumulate_and_store(image, color, gx, gy, accum_counter, accumulate)
+    full = (tw, th) == (W, H)
+    return _accumulate_and_store(
+        image, color, gx, gy, accum_counter, accumulate, full_frame=full
+    )
 
 
 def pathtrace_scene_debug(

@@ -91,51 +91,54 @@ class SceneTPU:
     # --- world-space triangle soup (BVH-reordered, padded) ---
     # Everything a hit needs is baked per-triangle at flatten time so the
     # shading stage is one gather per attribute instead of the reference's
-    # index->vertex->instance->matrix chain (pathtracer.wgsl:1729-1770):
-    wt_v0: jnp.ndarray  # (Tw,3) f32
-    wt_e1: jnp.ndarray  # (Tw,3) f32
-    wt_e2: jnp.ndarray  # (Tw,3) f32
+    # index->vertex->instance->matrix chain (pathtracer.wgsl:1729-1770).
+    # All multi-component tables are COMPONENT-MAJOR (k, Tw): minor-dim-3
+    # arrays get a 42x-padded TPU layout (see core/vec3.py), component-major
+    # tables tile densely and gather to clean (B,) lanes.
+    wt_v0: jnp.ndarray  # (3,Tw) f32
+    wt_e1: jnp.ndarray  # (3,Tw) f32
+    wt_e2: jnp.ndarray  # (3,Tw) f32
     wt_inst: jnp.ndarray  # (Tw,) i32
     wt_tri: jnp.ndarray  # (Tw,) i32 global triangle id into tri_indices
     wt_mat: jnp.ndarray  # (Tw,) i32 material id
-    wt_n0: jnp.ndarray  # (Tw,3) world-space vertex normals (normal-matrix
+    wt_n0: jnp.ndarray  # (3,Tw) world-space vertex normals (normal-matrix
     wt_n1: jnp.ndarray  # applied, unnormalized — interpolation commutes)
     wt_n2: jnp.ndarray
-    wt_gn: jnp.ndarray  # (Tw,3) geometric normal (reference orientation)
-    wt_uv0: jnp.ndarray  # (Tw,2)
+    wt_gn: jnp.ndarray  # (3,Tw) geometric normal (reference orientation)
+    wt_uv0: jnp.ndarray  # (2,Tw)
     wt_uv1: jnp.ndarray
     wt_uv2: jnp.ndarray
     wt_has_uv: jnp.ndarray  # (Tw,) i32
-    wt_c0: jnp.ndarray  # (Tw,4) vertex colors (ones when absent)
+    wt_c0: jnp.ndarray  # (4,Tw) vertex colors (ones when absent)
     wt_c1: jnp.ndarray
     wt_c2: jnp.ndarray
-    wt_tan: jnp.ndarray  # (Tw,3) world tangent (for normal mapping)
-    wt_bit: jnp.ndarray  # (Tw,3) world bitangent
+    wt_tan: jnp.ndarray  # (3,Tw) world tangent (for normal mapping)
+    wt_bit: jnp.ndarray  # (3,Tw) world bitangent
     # Packed (Tw, ATTR_WIDTH) attribute matrix for the dense Pallas kernel's
     # in-kernel attribute fetch (one-hot MXU select). (1, ATTR_WIDTH) dummy
     # in BVH mode — large scenes fetch via gathers instead.
     wt_attr: jnp.ndarray
 
     # --- world BVH (single node when dense mode) ---
-    bvh_min: jnp.ndarray  # (N,3) f32
-    bvh_max: jnp.ndarray  # (N,3) f32
+    bvh_min: jnp.ndarray  # (3,N) f32
+    bvh_max: jnp.ndarray  # (3,N) f32
     bvh_first: jnp.ndarray  # (N,) i32
     bvh_count: jnp.ndarray  # (N,) i32
 
-    # --- materials SoA ---
-    mat_color: jnp.ndarray  # (M,4)
-    mat_emission: jnp.ndarray  # (M,3)
-    mat_scattering: jnp.ndarray  # (M,3)
+    # --- materials SoA (component-major) ---
+    mat_color: jnp.ndarray  # (4,M)
+    mat_emission: jnp.ndarray  # (3,M)
+    mat_scattering: jnp.ndarray  # (3,M)
     mat_type: jnp.ndarray  # (M,) i32
     mat_roughness: jnp.ndarray  # (M,)
     mat_metallic: jnp.ndarray  # (M,)
     mat_ior: jnp.ndarray  # (M,)
     mat_sc_anisotropy: jnp.ndarray  # (M,)
     mat_tr_depth: jnp.ndarray  # (M,)
-    mat_tex: jnp.ndarray  # (M,5) i32, -1 = none: color/emission/roughness/scattering/normal
+    mat_tex: jnp.ndarray  # (5,M) i32, -1 = none: color/emission/roughness/scattering/normal
 
     # --- texture atlas ---
-    tex_data: jnp.ndarray  # (P,4) f32 flattened pixels
+    tex_data: jnp.ndarray  # (4,P) f32 flattened pixels, component-major
     tex_offset: jnp.ndarray  # (Nt,) i32
     tex_width: jnp.ndarray  # (Nt,) i32
     tex_height: jnp.ndarray  # (Nt,) i32
@@ -159,9 +162,9 @@ class SceneTPU:
     env_alias_offset: jnp.ndarray  # (E,) i32
 
     # --- light triangles in world space (linear order, for NEE + pdf) ---
-    lt_v0: jnp.ndarray  # (Tl,3)
-    lt_e1: jnp.ndarray  # (Tl,3)
-    lt_e2: jnp.ndarray  # (Tl,3)
+    lt_v0: jnp.ndarray  # (3,Tl)
+    lt_e1: jnp.ndarray  # (3,Tl)
+    lt_e2: jnp.ndarray  # (3,Tl)
     lt_light: jnp.ndarray  # (Tl,) i32 owning light index
     light_tri_offset: jnp.ndarray  # (L,) i32 into lt_* arrays
     light_tri_count: jnp.ndarray  # (L,) i32
@@ -644,41 +647,41 @@ def build_scene_tpu(
         inst_mesh=dev(inst_mesh),
         inst_mat=dev(inst_mat),
         inst_det_sign=dev(inst_det_sign),
-        wt_v0=dev(wt["v0"]),
-        wt_e1=dev(wt["e1"]),
-        wt_e2=dev(wt["e2"]),
+        wt_v0=dev(wt["v0"].T),
+        wt_e1=dev(wt["e1"].T),
+        wt_e2=dev(wt["e2"].T),
         wt_inst=dev(wt["inst"]),
         wt_tri=dev(wt["tri"]),
         wt_mat=dev(wt["mat"]),
-        wt_n0=dev(wt["n0"]),
-        wt_n1=dev(wt["n1"]),
-        wt_n2=dev(wt["n2"]),
-        wt_gn=dev(wt["gn"]),
-        wt_uv0=dev(wt["uv0"]),
-        wt_uv1=dev(wt["uv1"]),
-        wt_uv2=dev(wt["uv2"]),
+        wt_n0=dev(wt["n0"].T),
+        wt_n1=dev(wt["n1"].T),
+        wt_n2=dev(wt["n2"].T),
+        wt_gn=dev(wt["gn"].T),
+        wt_uv0=dev(wt["uv0"].T),
+        wt_uv1=dev(wt["uv1"].T),
+        wt_uv2=dev(wt["uv2"].T),
         wt_has_uv=dev(wt["has_uv"]),
-        wt_c0=dev(wt["c0"]),
-        wt_c1=dev(wt["c1"]),
-        wt_c2=dev(wt["c2"]),
-        wt_tan=dev(wt["tan"]),
-        wt_bit=dev(wt["bit"]),
+        wt_c0=dev(wt["c0"].T),
+        wt_c1=dev(wt["c1"].T),
+        wt_c2=dev(wt["c2"].T),
+        wt_tan=dev(wt["tan"].T),
+        wt_bit=dev(wt["bit"].T),
         wt_attr=dev(wt_attr),
-        bvh_min=dev(bvh_min),
-        bvh_max=dev(bvh_max),
+        bvh_min=dev(np.ascontiguousarray(bvh_min.T)),
+        bvh_max=dev(np.ascontiguousarray(bvh_max.T)),
         bvh_first=dev(bvh_first, np.int32),
         bvh_count=dev(bvh_count, np.int32),
-        mat_color=dev(mat_color),
-        mat_emission=dev(mat_emission),
-        mat_scattering=dev(mat_scattering),
+        mat_color=dev(mat_color.T),
+        mat_emission=dev(mat_emission.T),
+        mat_scattering=dev(mat_scattering.T),
         mat_type=dev(mat_type),
         mat_roughness=dev(mat_roughness),
         mat_metallic=dev(mat_metallic),
         mat_ior=dev(mat_ior),
         mat_sc_anisotropy=dev(mat_aniso),
         mat_tr_depth=dev(mat_trd),
-        mat_tex=dev(mat_tex),
-        tex_data=dev(tex_data),
+        mat_tex=dev(mat_tex.T),
+        tex_data=dev(np.ascontiguousarray(tex_data.T)),
         tex_offset=dev(tex_offset),
         tex_width=dev(tex_w),
         tex_height=dev(tex_h),
@@ -706,9 +709,9 @@ def build_scene_tpu(
         env_alias_offset=dev(
             np.asarray(env_alias_offset_l, np.int32) if ne else np.zeros(1, np.int32)
         ),
-        lt_v0=dev(cat_rows_or_zero(lt_v0_l)),
-        lt_e1=dev(cat_rows_or_zero(lt_e1_l)),
-        lt_e2=dev(cat_rows_or_zero(lt_e2_l)),
+        lt_v0=dev(cat_rows_or_zero(lt_v0_l).T),
+        lt_e1=dev(cat_rows_or_zero(lt_e1_l).T),
+        lt_e2=dev(cat_rows_or_zero(lt_e2_l).T),
         lt_light=dev(cat_or_zero(lt_light_l, np.int32)),
         light_tri_offset=dev(
             np.asarray(light_tri_offset_l, np.int32) if nl else np.zeros(1, np.int32)
