@@ -75,6 +75,8 @@ def main():
         return jnp.sum(n_traced.astype(jnp.int64))
 
     rays_per_spp = int(probe(tpu))
+    print(f"# rays_per_spp={rays_per_spp} ({rays_per_spp / (W * H):.2f} segs/path)",
+          file=sys.stderr)
 
     # --- timed render ---
     image = renderer.new_accumulation_buffer(W, H)
@@ -89,6 +91,7 @@ def main():
         image = renderer.pathtrace_scene(tpu, image, desc, baked)
     _ = float(jnp.sum(image))  # force: block_until_ready is unreliable on axon
     dt = time.time() - t0
+    print(f"# dt={dt:.3f}s for {ACCUMS} accums x {SPP_PER_ACCUM} spp", file=sys.stderr)
 
     total_rays = rays_per_spp * SPP_PER_ACCUM * ACCUMS
     mrays = total_rays / dt / 1e6

@@ -169,6 +169,42 @@ def closest_hit_dense_jnp(W4, ro: V3, rd: V3, eps, chunk: int | None = None):
     return tuple(out)
 
 
+# Measured on the v5e: the unrolled per-triangle sweep is ~10x SLOWER than
+# the Pallas MXU kernel even for 36 triangles (scalar broadcasts defeat
+# fusion), so it stays available only for reference/debugging.
+UNROLL_MAX_TRIS = 0
+
+
+def closest_hit_unrolled(scene, ro: V3, rd: V3, eps):
+    """Dense closest hit as an unrolled per-triangle lane sweep."""
+
+    B = ro.x.shape[0]
+    best_t = jnp.full(B, F32_MAX)
+    best_u = jnp.zeros(B)
+    best_v = jnp.zeros(B)
+    best_det = jnp.zeros(B)
+    best_tri = jnp.zeros(B, jnp.int32)
+    for i in range(scene.num_world_tris):
+        tv0 = V3(scene.wt_v0[0][i], scene.wt_v0[1][i], scene.wt_v0[2][i])
+        te1 = V3(scene.wt_e1[0][i], scene.wt_e1[1][i], scene.wt_e1[2][i])
+        te2 = V3(scene.wt_e2[0][i], scene.wt_e2[1][i], scene.wt_e2[2][i])
+        t, u, v, det = _ray_tri(ro, rd, tv0, te1, te2, eps)
+        upd = t < best_t
+        best_u = jnp.where(upd, u, best_u)
+        best_v = jnp.where(upd, v, best_v)
+        best_det = jnp.where(upd, det, best_det)
+        best_tri = jnp.where(upd, i, best_tri)
+        best_t = jnp.where(upd, t, best_t)
+    return HitInfo(
+        hit=best_t < F32_MAX,
+        dst=best_t,
+        u=best_u,
+        v=best_v,
+        tri=best_tri,
+        backside=best_det > 0.0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batched masked-stack BVH traversal (component-wise lane math)
 # ---------------------------------------------------------------------------
@@ -220,15 +256,20 @@ def closest_hit_bvh(scene, ro: V3, rd: V3, eps, with_counts: bool = False):
     S = scene.bvh_depth + 2
     K = scene.bvh_leaf_size
     inv_d = 1.0 / rd
-    lanes = jnp.arange(S, dtype=jnp.int32)[None, :]
+    # Stack layout (S, B): component-major so every row is lane-dense (a
+    # (B, S) stack would pad S -> 128 lanes and the pop would be a slow
+    # per-lane 2-D gather). Pop = one-hot masked sum over the S rows; push =
+    # masked row writes. S is ~27, so these are cheap full-lane VPU passes.
+    rows = jnp.arange(S, dtype=jnp.int32)[:, None]
 
     def set_stack(stack, sp, val, push):
-        return jnp.where(
-            (lanes == sp[:, None]) & push[:, None], val[:, None], stack
-        )
+        return jnp.where((rows == sp[None, :]) & push[None, :], val[None, :], stack)
+
+    def read_stack(stack, sp):
+        return jnp.sum(jnp.where(rows == sp[None, :], stack, 0), axis=0)
 
     init = dict(
-        stack=jnp.zeros((B, S), jnp.int32),
+        stack=jnp.zeros((S, B), jnp.int32),
         sp=jnp.ones(B, jnp.int32),
         best_t=jnp.full(B, F32_MAX),
         best_u=jnp.zeros(B, jnp.float32),
@@ -245,7 +286,7 @@ def closest_hit_bvh(scene, ro: V3, rd: V3, eps, with_counts: bool = False):
     def body(c):
         active = c["sp"] > 0
         sp = jnp.where(active, c["sp"] - 1, 0)
-        node = jnp.take_along_axis(c["stack"], sp[:, None], axis=1)[:, 0]
+        node = read_stack(c["stack"], sp)
         count = scene.bvh_count[node]
         first = scene.bvh_first[node]
         is_leaf = active & (count > 0)
@@ -357,6 +398,8 @@ def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> Hit
         return miss(ro.x.shape)
     if scene.use_bvh:
         return _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
+    if scene.num_world_tris <= UNROLL_MAX_TRIS:
+        return _fixup_backside(scene, closest_hit_unrolled(scene, ro, rd, eps))
     if W is None:
         W = scene_tri_matrix(scene)
     if _use_pallas():
@@ -376,7 +419,12 @@ def closest_hit_attrs(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None):
     all per-hit shading gathers. BVH scenes return attrs=None and shade via
     gathers."""
 
-    if scene.instances_empty or scene.use_bvh or not _use_pallas():
+    if (
+        scene.instances_empty
+        or scene.use_bvh
+        or scene.num_world_tris <= UNROLL_MAX_TRIS
+        or not _use_pallas()
+    ):
         return closest_hit(scene, ro, rd, eps, W=W), None
     from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas
 
