@@ -28,6 +28,17 @@ def build_alias_table(weights: np.ndarray):
     if total == 0.0:
         return (np.zeros(0, np.float32),) * 2 + (np.zeros(0, np.uint32),)
 
+    if n >= 4096:
+        # Large tables (multi-megapixel environment maps) go through the
+        # native builder; numpy below stays as reference/fallback.
+        try:
+            from . import native
+
+            if native.available():
+                return native.build_alias_table_native(weights.astype(np.float32))
+        except Exception:
+            pass
+
     prob = (weights / total).astype(np.float32)
     threshold = np.zeros(n, np.float32)
     alias = np.zeros(n, np.uint32)

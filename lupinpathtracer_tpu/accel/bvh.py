@@ -63,6 +63,26 @@ def build_bvh(
     tri_lo = np.asarray(tri_lo, np.float32)
     tri_hi = np.asarray(tri_hi, np.float32)
     T = tri_lo.shape[0]
+    if T > 0:
+        # Production path: native binned-SAH builder (accel/native). The
+        # numpy implementation below is the reference/fallback.
+        try:
+            from . import native
+
+            if native.available():
+                nmin, nmax, nfirst, ncount, order, depth = native.build_bvh_native(
+                    tri_lo, tri_hi, max_leaf_size, max_depth
+                )
+                return BvhArrays(
+                    aabb_min=nmin,
+                    aabb_max=nmax,
+                    first_or_begin=nfirst,
+                    tri_count=ncount,
+                    order=order,
+                    depth=depth,
+                )
+        except Exception:
+            pass
     if T == 0:
         return BvhArrays(
             aabb_min=np.zeros((1, 3), np.float32),

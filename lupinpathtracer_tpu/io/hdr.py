@@ -63,6 +63,15 @@ def read_hdr(path) -> np.ndarray:
     height = int(res_line[1])
     width = int(res_line[3])
 
+    try:
+        from ..accel.native import decode_rgbe_native
+
+        decoded = decode_rgbe_native(data[pos:], width, height)
+        if decoded is not None:
+            return _rgbe_to_float(decoded)
+    except Exception:
+        pass
+
     buf = np.frombuffer(data, np.uint8, offset=pos)
     img = np.empty((height, width, 4), np.uint8)
     bp = 0
