@@ -33,13 +33,7 @@ class DenoiseDesc:
     sigma_normal: float = 0.35
 
 
-_KERNEL = jnp.asarray([1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16])
-
-
-def _shift2(img, dy, dx):
-    """Edge-clamped shift (SAME as sampling outside with clamp-to-edge)."""
-
-    return jnp.roll(img, (dy, dx), axis=(0, 1)) if False else _pad_shift(img, dy, dx)
+_KERNEL = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
 
 
 def _pad_shift(img, dy, dx):
@@ -71,7 +65,7 @@ def denoise(
             for kx in range(5):
                 dy = (ky - 2) * step
                 dx = (kx - 2) * step
-                kw = float(_KERNEL[ky] * _KERNEL[kx])
+                kw = _KERNEL[ky] * _KERNEL[kx]
                 c = _pad_shift(out, dy, dx)
                 w = jnp.full(out.shape[:2], kw, out.dtype)
                 dc = jnp.sum((c - out) ** 2, axis=-1)

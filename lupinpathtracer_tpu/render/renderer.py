@@ -223,7 +223,7 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
     )
     if uses_alpha_skip:
         hit, attrs, state = integrators.ray_skip_alpha(
-            scene, ctx, ro, rd, state, jnp.ones(ro.shape[0], bool)
+            scene, ctx, ro, rd, state, jnp.ones(ro.x.shape[0], bool)
         )
     else:
         hit, attrs = intersect.closest_hit_attrs(

@@ -1,0 +1,169 @@
+"""Renderer smoke + consistency tests (tiny resolutions, CPU mesh).
+
+The full golden-image regression (reference workload, 1000 spp, TPU) lives
+in apps/golden_test.py; these keep CI fast while covering every dispatch
+path: all four integrators, falsecolor AOVs, debug heatmaps, tiling,
+accumulation, tonemap, denoise, and the sharded multi-chip step.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lupinpathtracer_tpu.core.types import (
+    BakedPathtraceParams,
+    FalsecolorType,
+    PathtraceDesc,
+    PathtraceType,
+    get_num_tiles,
+)
+from lupinpathtracer_tpu.io import builtin
+from lupinpathtracer_tpu.render import renderer, tonemap
+from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, cams = builtin.build_scene_cornell_box()
+    tpu = build_scene_tpu(scene)
+    desc = PathtraceDesc()
+    desc.camera_transform = cams[0].transform
+    desc.camera_params = cams[0].params
+    desc.advanced.max_radiance = 10.0
+    return tpu, desc
+
+
+def _render(tpu, desc, w=12, h=12, spp=1, bounces=2, accums=1):
+    baked = BakedPathtraceParams(max_bounces=bounces, samples_per_pixel=spp)
+    return renderer.render_progressive(tpu, desc, baked, w, h, accums)
+
+
+@pytest.mark.parametrize(
+    "ptype",
+    [
+        PathtraceType.STANDARD,
+        PathtraceType.MIS,
+        PathtraceType.NAIVE,
+        PathtraceType.DIRECT,
+    ],
+)
+def test_integrators_smoke(cornell, ptype):
+    tpu, desc = cornell
+    desc.pathtrace_type = ptype
+    img = _render(tpu, desc)
+    assert img.shape == (12, 12, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
+    assert img.min() >= 0.0
+
+
+def test_accumulation_reduces_variance(cornell):
+    tpu, desc = cornell
+    desc.pathtrace_type = PathtraceType.STANDARD
+    one = _render(tpu, desc, w=16, h=16, spp=4, accums=1)
+    many = _render(tpu, desc, w=16, h=16, spp=4, accums=8)
+    # Means should agree; accumulation must not change the expectation
+    # (tolerance covers MC noise at these tiny sample counts).
+    assert abs(one.mean() - many.mean()) < 0.25 * max(many.mean(), 1e-3)
+    # And the 8-accum image must be smoother (variance across pixels of a
+    # mostly-flat region drops with sample count).
+    assert many.std() <= one.std() * 1.2
+
+
+def test_tiled_matches_full(cornell):
+    tpu, desc = cornell
+    desc.pathtrace_type = PathtraceType.NAIVE
+    baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
+    full = _render(tpu, desc, w=16, h=16)
+    desc.tile_params.enabled = True
+    desc.tile_params.tile_size = 8
+    nx, ny = get_num_tiles(16, 16, 8)
+    img = renderer.new_accumulation_buffer(16, 16)
+    desc.accum_params.accumulate = True
+    desc.accum_params.counter = 0
+    for t in range(nx * ny):
+        desc.tile_params.tile_idx = t
+        img = renderer.pathtrace_scene(tpu, img, desc, baked)
+    desc.tile_params.enabled = False
+    np.testing.assert_allclose(np.asarray(img), full, atol=1e-5)
+
+
+def test_falsecolor_modes(cornell):
+    tpu, desc = cornell
+    baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
+    for fc in (
+        FalsecolorType.ALBEDO,
+        FalsecolorType.NORMALS,
+        FalsecolorType.EMISSION,
+        FalsecolorType.INSTANCE,
+    ):
+        img = renderer.pathtrace_scene_falsecolor(
+            tpu, renderer.new_accumulation_buffer(8, 8), desc, baked, fc
+        )
+        a = np.asarray(img)
+        assert np.isfinite(a).all()
+    # Albedo of the cornell walls should be dominated by the wall colors.
+    alb = np.asarray(
+        renderer.pathtrace_scene_falsecolor(
+            tpu, renderer.new_accumulation_buffer(16, 16), desc, baked,
+            FalsecolorType.ALBEDO,
+        )
+    )
+    assert 0.2 < alb.mean() < 0.9
+
+
+def test_debug_heatmap(cornell):
+    tpu, desc = cornell
+    baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
+    img = renderer.pathtrace_scene_debug(
+        tpu, renderer.new_accumulation_buffer(8, 8), desc, baked,
+        mode="tri_checks", heatmap_max=40.0,
+    )
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_tonemap():
+    img = jnp.asarray(np.linspace(0, 4, 48, dtype=np.float32).reshape(4, 4, 3))
+    out = np.asarray(tonemap.tonemap(img, jnp.float32(0.0), True, True))
+    assert out.shape == (4, 4, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.01
+    fit = np.asarray(
+        tonemap.tonemap_and_fit_aspect(img, jnp.float32(0.0), 8, 6, False, True)
+    )
+    assert fit.shape == (8, 6, 3)
+    # Letterbox regions are black.
+    assert fit[0].max() == 0.0 or fit[:, 0].max() == 0.0
+
+
+def test_denoise_reduces_noise(rng):
+    from lupinpathtracer_tpu.denoise.atrous import denoise
+
+    clean = np.zeros((32, 32, 3), np.float32)
+    clean[8:24, 8:24] = 1.0
+    noisy = clean + rng.normal(0, 0.3, clean.shape).astype(np.float32)
+    out = np.asarray(denoise(jnp.asarray(noisy), iterations=3))
+    err_in = np.abs(noisy - clean).mean()
+    err_out = np.abs(out - clean).mean()
+    assert err_out < err_in * 0.6
+
+
+def test_sharded_matches_single(cornell):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from lupinpathtracer_tpu.parallel.sharding import (
+        make_tile_mesh,
+        render_progressive_sharded,
+    )
+
+    tpu, desc = cornell
+    desc.pathtrace_type = PathtraceType.NAIVE
+    desc.tile_params.enabled = False
+    baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
+    single = _render(tpu, desc, w=16, h=16, accums=2)
+    mesh = make_tile_mesh(2)
+    sharded = render_progressive_sharded(
+        tpu, desc, baked, width=16, height=16, accumulations=2, mesh=mesh
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
