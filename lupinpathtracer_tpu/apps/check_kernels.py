@@ -1,0 +1,106 @@
+"""Headless kernel compile check.
+
+TPU-native rebuild of the reference's `check_shaders` tool
+(lupin/src/tools/check_shaders.rs:14-19): builds every render executable
+(all integrators, falsecolor, debug, tonemap, denoise, sharded step) against
+a tiny scene without rendering anything meaningful — catches lowering
+errors in one command.
+
+Usage: python -m lupinpathtracer_tpu.apps.check_kernels
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.types import (
+        BakedPathtraceParams,
+        FalsecolorType,
+        PathtraceDesc,
+        PathtraceType,
+    )
+    from ..io import builtin
+    from ..render import renderer, tonemap
+    from ..denoise.atrous import denoise
+    from ..scene.flatten import build_scene_tpu
+
+    scene, cams = builtin.build_scene_cornell_box()
+    tpu = build_scene_tpu(scene)
+    desc = PathtraceDesc()
+    desc.camera_transform = cams[0].transform
+    desc.camera_params = cams[0].params
+    baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
+
+    checks = []
+    for pt in PathtraceType:
+        desc.pathtrace_type = pt
+        checks.append(
+            (
+                f"pathtrace[{pt.name}]",
+                lambda d=desc, p=pt: renderer.pathtrace_scene(
+                    tpu, renderer.new_accumulation_buffer(8, 8), d, baked
+                ),
+            )
+        )
+    checks.append(
+        (
+            "falsecolor[ALBEDO]",
+            lambda: renderer.pathtrace_scene_falsecolor(
+                tpu, renderer.new_accumulation_buffer(8, 8), desc, baked,
+                FalsecolorType.ALBEDO,
+            ),
+        )
+    )
+    checks.append(
+        (
+            "debug[tri_checks]",
+            lambda: renderer.pathtrace_scene_debug(
+                tpu, renderer.new_accumulation_buffer(8, 8), desc, baked
+            ),
+        )
+    )
+    checks.append(
+        (
+            "tonemap",
+            lambda: tonemap.tonemap_and_fit_aspect(
+                jnp.ones((8, 8, 3)), jnp.float32(0.0), 10, 10, True, True
+            ),
+        )
+    )
+    checks.append(("denoise", lambda: denoise(jnp.ones((16, 16, 3)), iterations=2)))
+
+    if len(jax.devices()) >= 2:
+        from ..parallel.sharding import make_tile_mesh, render_progressive_sharded
+
+        checks.append(
+            (
+                "sharded step",
+                lambda: render_progressive_sharded(
+                    tpu, desc, baked, 8, 8 * min(len(jax.devices()), 8), 1,
+                    mesh=make_tile_mesh(min(len(jax.devices()), 8)),
+                ),
+            )
+        )
+
+    failed = 0
+    for name, fn in checks:
+        t0 = time.time()
+        try:
+            out = fn()
+            jax.tree.map(lambda x: jnp.asarray(x).block_until_ready(), out)
+            print(f"  OK   {name} ({time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — report every failure
+            failed += 1
+            print(f"  FAIL {name}: {type(e).__name__}: {e}")
+    if failed:
+        raise SystemExit(f"{failed} kernel checks failed")
+    print("all kernel checks passed")
+
+
+if __name__ == "__main__":
+    main()
