@@ -412,7 +412,9 @@ def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> Hit
     return _fixup_backside(scene, h)
 
 
-def closest_hit_attrs(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None):
+def closest_hit_attrs(
+    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, alive_count=None
+):
     """Dense-mode closest hit returning (HitInfo, attrs (AW, B) or None).
 
     The attrs rows are fetched in-kernel (one-hot MXU select), eliminating
@@ -431,7 +433,7 @@ def closest_hit_attrs(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None):
     if W is None:
         W = scene_tri_matrix(scene)
     t, u, v, det, idx, attr = dense_closest_hit_attrs_pallas(
-        W, scene.wt_attr, ro, rd, eps
+        W, scene.wt_attr, ro, rd, eps, alive_count=alive_count
     )
     backside = det > 0.0
     flip = attr[ATTR_DET_SIGN] < 0.0

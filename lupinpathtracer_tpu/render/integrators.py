@@ -56,12 +56,41 @@ def make_ctx(scene, eps):
     return dict(eps=eps, W=W, Wl=Wl)
 
 
-def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
+# Stream compaction is implemented but DISABLED by default: on this
+# backend the per-bounce permutation (cumsum + scatter + ~30 lane gathers)
+# measured ~30x slower than the dead-lane work it saves. Revisit once the
+# permutation runs inside a Pallas kernel.
+ENABLE_COMPACTION = False
+
+
+def _compact_perm(alive):
+    """Stable permutation moving live lanes to the front. Returns
+    (inv_indices, alive_count): new[j] = old[inv[j]]."""
+
+    B = alive.shape[0]
+    ai = alive.astype(jnp.int32)
+    front = jnp.cumsum(ai) - 1
+    count = front[-1] + 1
+    back = count - 1 + jnp.cumsum(1 - ai)
+    dest = jnp.where(alive, front, back)
+    inv = jnp.zeros(B, jnp.int32).at[dest].set(
+        jnp.arange(B, dtype=jnp.int32)
+    )
+    return inv, count
+
+
+def _apply_perm(inv, tree):
+    return jax.tree.map(lambda x: x[inv], tree)
+
+
+def ray_skip_alpha(scene, ctx, ro, rd, state, mask, alive_count=None):
     """ray_skip_alpha_stochastically (bvh_custom.wgsl:154-180): re-cast
     through lanes whose opacity test fails, accumulating distance. Gated by
     the static has_alpha flag — opaque scenes pay exactly one intersection."""
 
-    hit, attrs = intersect.closest_hit_attrs(scene, ro, rd, ctx["eps"], W=ctx["W"])
+    hit, attrs = intersect.closest_hit_attrs(
+        scene, ro, rd, ctx["eps"], W=ctx["W"], alive_count=alive_count
+    )
     if not scene.has_alpha:
         return hit, attrs, state
 
@@ -201,12 +230,21 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
     B = ro.x.shape[0]
     is_direct = ptype == PathtraceType.DIRECT
     use_nee = ptype in (PathtraceType.STANDARD, PathtraceType.DIRECT)
+    # Stream compaction (SURVEY.md §7 step 6): live lanes move to the front
+    # each bounce so the dense intersector only pays for the live prefix.
+    do_compact = (
+        ENABLE_COMPACTION
+        and (not scene.use_bvh)
+        and (not scene.instances_empty)
+        and B >= 4096
+    )
 
     init = dict(
         bounce=jnp.int32(0),
         ro=ro,
         rd=rd,
         state=state,
+        pixel=jnp.arange(B, dtype=jnp.int32),
         weight=v3.full(B, 1.0),
         radiance=v3.zeros(B),
         alive=jnp.ones(B, bool),
@@ -223,6 +261,15 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         return jnp.any(c["alive"]) & (c["bounce"] <= max_bounces)
 
     def body(c):
+        if do_compact:
+            inv, alive_count = _compact_perm(c["alive"])
+            bounce = c["bounce"]
+            c = dict(c)
+            del c["bounce"]
+            c = _apply_perm(inv, c)
+            c["bounce"] = bounce
+        else:
+            alive_count = None
         alive = c["alive"]
         ro, rd = c["ro"], c["rd"]
         weight, radiance = c["weight"], c["radiance"]
@@ -230,7 +277,9 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         next_emission = c["next_emission"]
 
         n_traced = c["n_traced"] + alive.astype(jnp.int32)
-        hit, attrs, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive)
+        hit, attrs, state = ray_skip_alpha(
+            scene, ctx, ro, rd, state, alive, alive_count
+        )
 
         # Miss: environment (pathtrace_direct gates on next_emission,
         # pathtracer.wgsl:1075-1080; standard/naive add unconditionally).
@@ -273,7 +322,8 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             do_l = nd & v3.all_nonzero(lf) & (lpdf > 0.0)
             n_traced = n_traced + nd.astype(jnp.int32)
             lhit, lattrs = intersect.closest_hit_attrs(
-                scene, pos_surf, ldir, ctx["eps"], W=ctx["W"]
+                scene, pos_surf, ldir, ctx["eps"], W=ctx["W"],
+                alive_count=alive_count,
             )
             l_em = get_material_point(scene, lhit, lattrs).emission
             if not scene.envs_empty:
@@ -366,6 +416,7 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             ro=ro,
             rd=rd,
             state=state,
+            pixel=c["pixel"],
             weight=weight,
             radiance=radiance,
             alive=alive,
@@ -379,7 +430,25 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         )
 
     c = jax.lax.while_loop(cond, body, init)
-    return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
+    return _unscramble(c, B, do_compact)
+
+
+def _unscramble(c, B, compacted):
+    """Scatter per-lane results back to pixel order after compaction."""
+
+    if not compacted:  # identity permutation — skip the scatters
+        return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
+    pix = c["pixel"]
+    rad = c["radiance"]
+    out_rad = V3(
+        jnp.zeros(B).at[pix].set(rad.x),
+        jnp.zeros(B).at[pix].set(rad.y),
+        jnp.zeros(B).at[pix].set(rad.z),
+    )
+    nb = jnp.zeros(B, jnp.int32).at[pix].set(c["n_bounces"])
+    nt = jnp.zeros(B, jnp.int32).at[pix].set(c["n_traced"])
+    st = jnp.zeros(B, jnp.uint32).at[pix].set(c["state"])
+    return out_rad, st, nb, nt
 
 
 def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
@@ -388,12 +457,19 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
     matching the reference's use of ray_scene_intersection there)."""
 
     B = ro.x.shape[0]
+    do_compact = (
+        ENABLE_COMPACTION
+        and (not scene.use_bvh)
+        and (not scene.instances_empty)
+        and B >= 4096
+    )
 
     init = dict(
         bounce=jnp.int32(0),
         ro=ro,
         rd=rd,
         state=state,
+        pixel=jnp.arange(B, dtype=jnp.int32),
         weight=v3.full(B, 1.0),
         radiance=v3.zeros(B),
         alive=jnp.ones(B, bool),
@@ -410,6 +486,15 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         return jnp.any(c["alive"]) & (c["bounce"] <= max_bounces)
 
     def body(c):
+        if do_compact:
+            inv, alive_count = _compact_perm(c["alive"])
+            bounce = c["bounce"]
+            c = dict(c)
+            del c["bounce"]
+            c = _apply_perm(inv, c)
+            c["bounce"] = bounce
+        else:
+            alive_count = None
         alive = c["alive"]
         ro, rd = c["ro"], c["rd"]
         weight, radiance = c["weight"], c["radiance"]
@@ -421,7 +506,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         # Alpha skip applies only when the previous bounce requested a fresh
         # emission-carrying ray (pathtracer.wgsl:751-756).
         hit, attrs, state = ray_skip_alpha(
-            scene, ctx, ro, rd, state, alive & next_emission
+            scene, ctx, ro, rd, state, alive & next_emission, alive_count
         )
 
         miss_m = alive & ~hit.hit
@@ -469,7 +554,8 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
             # (pathtracer.wgsl:790).
             go = active & v3.all_nonzero(f) & (mw != 0.0)
             mhit, mattrs = intersect.closest_hit_attrs(
-                scene, pos_surf, mdir, ctx["eps"], W=ctx["W"]
+                scene, pos_surf, mdir, ctx["eps"], W=ctx["W"],
+                alive_count=alive_count,
             )
             em = get_material_point(scene, mhit, mattrs).emission
             if not scene.envs_empty:
@@ -562,6 +648,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
             ro=ro,
             rd=rd,
             state=state,
+            pixel=c["pixel"],
             weight=weight,
             radiance=radiance,
             alive=alive,
@@ -575,7 +662,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         )
 
     c = jax.lax.while_loop(cond, body, init)
-    return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
+    return _unscramble(c, B, do_compact)
 
 
 def clamp_radiance(radiance: V3, max_radiance) -> V3:
