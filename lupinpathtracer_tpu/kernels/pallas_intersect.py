@@ -192,10 +192,22 @@ def _kernel_attrs_body(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        det = dot(R, W_ref[0, :, pl.ds(off, TB)])
-        nu = dot(R, W_ref[1, :, pl.ds(off, TB)])
-        nv = dot(R, W_ref[2, :, pl.ds(off, TB)])
-        nt = dot(R, W_ref[3, :, pl.ds(off, TB)])
+        # One fused (RB,10)@(10,4TB) matmul for all four numerators (a
+        # single MXU dispatch beats four K=10 contractions).
+        Wblk = jnp.concatenate(
+            [
+                W_ref[0, :, pl.ds(off, TB)],
+                W_ref[1, :, pl.ds(off, TB)],
+                W_ref[2, :, pl.ds(off, TB)],
+                W_ref[3, :, pl.ds(off, TB)],
+            ],
+            axis=1,
+        )
+        M = dot(R, Wblk)
+        det = M[:, 0:TB]
+        nu = M[:, TB : 2 * TB]
+        nv = M[:, 2 * TB : 3 * TB]
+        nt = M[:, 3 * TB : 4 * TB]
         d = 1.0 / det
         t = nt * d
         u = nu * d
