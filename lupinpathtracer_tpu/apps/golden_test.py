@@ -48,6 +48,24 @@ def camera_resolution(aspect: float, target_area: int = RESOLUTION_TARGET):
     return int(round(w)), int(round(w / aspect))
 
 
+def align_for_scale(render: np.ndarray, scale_k: int) -> np.ndarray:
+    """Sub-pixel alignment for reduced-scale comparisons.
+
+    The reference's y flip (pixel.y = res.y - id.y + 0.5,
+    pathtracer.wgsl:508) overshoots the film by half a pixel *of the render
+    resolution*, so a render at 1/K scale sits (K-1)/K of a pixel below the
+    box-downsampled golden. Full-resolution comparisons (K == 1) need no
+    correction."""
+
+    if scale_k <= 1:
+        return render
+    s = (scale_k - 1) / scale_k
+    a0 = np.roll(render, -0, axis=0)
+    a1 = np.roll(render, -1, axis=0)
+    out = a0 * (1 - s) + a1 * s
+    return out[:-1]  # drop the wrapped last row
+
+
 def compare(render: np.ndarray, golden: np.ndarray):
     """Returns (max RGB distance, relative RMSE)."""
 
@@ -65,9 +83,15 @@ def run_scene(scene_dir, name, args):
     results = []
     cams = cams[:1] if args.first_camera_only else cams
     for ci, cam in enumerate(cams):
-        w, h = camera_resolution(cam.params.aspect)
-        w = max(8, int(w * args.scale))
-        h = max(8, int(h * args.scale))
+        golden_path0 = os.path.join(scene_dir, f"render_cam{ci}.hdr")
+        scale_k = max(1, int(round(1.0 / args.scale)))
+        if os.path.exists(golden_path0):
+            g0 = hdr_io.read_hdr(golden_path0)
+            w, h = g0.shape[1] // scale_k, g0.shape[0] // scale_k
+        else:
+            w, h = camera_resolution(cam.params.aspect)
+            w = max(8, int(w * args.scale))
+            h = max(8, int(h * args.scale))
         desc = PathtraceDesc()
         desc.camera_transform = cam.transform
         desc.camera_params = cam.params
@@ -82,11 +106,7 @@ def run_scene(scene_dir, name, args):
               flush=True)
         img = renderer.render_progressive(tpu, desc, baked, w, h, accums)
 
-        golden_path = os.path.join(scene_dir, f"render_cam{ci}.hdr")
-        if args.scale != 1.0:
-            golden_path = os.path.join(
-                scene_dir, f"render_cam{ci}.hdr"
-            )  # compare against downsampled golden below
+        golden_path = golden_path0
         if not os.path.exists(golden_path) or args.overwrite_renders:
             if args.scale == 1.0:
                 hdr_io.write_hdr(golden_path, img)
@@ -98,7 +118,14 @@ def run_scene(scene_dir, name, args):
                 continue
         golden = hdr_io.read_hdr(golden_path)
         if golden.shape[:2] != img.shape[:2]:
-            golden = _resize_box(golden, img.shape[0], img.shape[1])
+            K = golden.shape[0] // img.shape[0]
+            golden = (
+                golden[: img.shape[0] * K, : img.shape[1] * K]
+                .reshape(img.shape[0], K, img.shape[1], K, 3)
+                .mean(axis=(1, 3))
+            )
+            img = align_for_scale(img, K)
+            golden = golden[: img.shape[0]]
         max_dist, rel_rmse = compare(img, golden)
         ok = max_dist <= EPSILON and rel_rmse < args.rmse_threshold
         results.append((name, ci, ok, max_dist, rel_rmse))
