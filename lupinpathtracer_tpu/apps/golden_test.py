@@ -104,7 +104,29 @@ def run_scene(scene_dir, name, args):
         )
         print(f"  {name} cam{ci}: {w}x{h} @ {accums * SPP_PER_PASS}spp",
               flush=True)
-        img = renderer.render_progressive(tpu, desc, baked, w, h, accums)
+        if tpu.use_bvh:
+            # Bound single-dispatch runtime: BVH traversal is lockstep-bound,
+            # and overlong dispatches trip the TPU watchdog (the reference
+            # tiles for the same reason, README.md:74-77).
+            from ..core.types import get_num_tiles
+
+            desc.tile_params.enabled = True
+            desc.tile_params.tile_size = args.tile_size
+            nx, ny = get_num_tiles(w, h, args.tile_size)
+            import jax.numpy as jnp
+
+            image = renderer.new_accumulation_buffer(w, h)
+            desc.accum_params.accumulate = True
+            for i in range(accums):
+                desc.accum_params.counter = i
+                for t in range(nx * ny):
+                    desc.tile_params.tile_idx = t
+                    image = renderer.pathtrace_scene(tpu, image, desc, baked)
+                    _ = float(jnp.sum(image))  # sync: bound queue depth
+            img = np.asarray(image)
+            desc.tile_params.enabled = False
+        else:
+            img = renderer.render_progressive(tpu, desc, baked, w, h, accums)
 
         golden_path = golden_path0
         if not os.path.exists(golden_path) or args.overwrite_renders:
@@ -166,6 +188,8 @@ def main(argv=None):
     p.add_argument("--scale", type=float, default=1.0,
                    help="resolution scale (goldens are box-downsampled)")
     p.add_argument("--rmse_threshold", type=float, default=0.01)
+    p.add_argument("--tile_size", type=int, default=128,
+                   help="dispatch tile for BVH scenes (watchdog safety)")
     args = p.parse_args(argv)
 
     names = (
