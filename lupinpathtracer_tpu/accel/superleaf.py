@@ -1,0 +1,230 @@
+"""Superleaf (two-level wavefront) decomposition of the world BVH.
+
+The reference walks its BVH with one independent thread per ray
+(bvh_custom.wgsl:195-288). A TPU has no per-lane control flow or gathers,
+so the world BVH is re-shaped into the structure the hardware can traverse:
+
+- The tree is CUT into "superleaves": maximal subtrees covering at most
+  `stride` triangles. Each superleaf's triangles are repacked into a
+  fixed-stride, 128-aligned block of the world-triangle soup, so a
+  (ray, superleaf) pair is one dense MXU intersection job
+  (kernels/pallas_intersect.py) addressed purely by the superleaf id.
+- A small TOP TREE is rebuilt over the superleaf AABBs (binned SAH,
+  leaf size 1). It is condensed into a row table where each internal
+  node's row holds BOTH children's AABBs and child references, so the
+  traversal kernel fetches everything it needs for one step with a single
+  exact one-hot matmul against the VMEM-resident table
+  (kernels/pallas_bvh.py) — no gathers anywhere on the hot path.
+
+AABBs in the row table are rounded OUTWARD to bfloat16 so the table can be
+consumed by a bf16 one-hot matmul without losing conservativeness. Child
+references are split into two 8-bit-exact factors (hi*256 + lo) because
+bf16 cannot represent integers above 256 exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bvh import BvhArrays, build_bvh
+
+# Row-table column layout (see kernels/pallas_bvh.py).
+COL_LMIN = slice(0, 3)
+COL_LMAX = slice(3, 6)
+COL_RMIN = slice(6, 9)
+COL_RMAX = slice(9, 12)
+COL_L_ISLEAF = 12
+COL_L_HI = 13
+COL_L_LO = 14
+COL_R_ISLEAF = 15
+COL_R_HI = 16
+COL_R_LO = 17
+TOP_COLS = 18
+
+
+@dataclass
+class Superleaves:
+    """Host-side result of the decomposition."""
+
+    order: np.ndarray  # (Tp,) i32: padded-soup position -> original tri id
+    valid: np.ndarray  # (Tp,) bool: False on padding rows
+    bvhpos_to_padded: np.ndarray  # (T,) i32: BVH-order position -> padded pos
+    sl_count: int
+    stride: int
+    sl_tri_count: np.ndarray  # (n_sl,) i32 real tris per superleaf
+    top_tab: np.ndarray  # (rows_pad, TOP_COLS) f32 (bf16-rounded payload)
+    top_rows: int  # real internal rows (<= rows_pad)
+    top_root_is_leaf: bool  # single-superleaf scene: no internal rows
+    top_depth: int
+
+
+def _bf16_down(x: np.ndarray) -> np.ndarray:
+    """Largest bf16 value <= x (round toward -inf)."""
+
+    x = np.asarray(x, np.float32)
+    b = x.view(np.uint32)
+    trunc = (b & np.uint32(0xFFFF0000)).view(np.float32)
+    # Truncation rounds toward zero: correct for x >= 0, may round UP for
+    # x < 0 -> step one bf16 ulp toward -inf where trunc > x.
+    need = trunc > x
+    step = ((b & np.uint32(0xFFFF0000)) + np.uint32(0x00010000)).view(np.float32)
+    neg = x < 0
+    out = np.where(need & neg, step, trunc)
+    # For positive x, trunc <= x always; need only holds for negatives.
+    return out.astype(np.float32)
+
+
+def _bf16_up(x: np.ndarray) -> np.ndarray:
+    """Smallest bf16 value >= x (round toward +inf)."""
+
+    return -_bf16_down(-np.asarray(x, np.float32))
+
+
+def _subtree_ranges(bvh: BvhArrays) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node [begin, end) triangle range. Children partition the parent's
+    range in both builders (accel/bvh.py, accel/native/builders.cpp), so the
+    range of any subtree is contiguous."""
+
+    n = bvh.first_or_begin.shape[0]
+    begin = np.zeros(n, np.int64)
+    end = np.zeros(n, np.int64)
+    # Post-order accumulate with an explicit stack.
+    stack = [(0, False)]
+    while stack:
+        node, processed = stack.pop()
+        if bvh.tri_count[node] > 0:
+            begin[node] = bvh.first_or_begin[node]
+            end[node] = begin[node] + bvh.tri_count[node]
+            continue
+        l = int(bvh.first_or_begin[node])
+        r = l + 1
+        if processed:
+            begin[node] = begin[l]
+            end[node] = end[r]
+        else:
+            stack.append((node, True))
+            stack.append((l, False))
+            stack.append((r, False))
+    return begin, end
+
+
+def pick_stride(num_tris: int, max_top_rows: int = 2048) -> int:
+    """Smallest power-of-two stride (>=256) keeping the top table small
+    enough for a VMEM-resident one-hot matmul."""
+
+    stride = 256
+    while num_tris / stride > max_top_rows * 0.75:
+        stride *= 2
+    return stride
+
+
+def build_superleaves(
+    bvh: BvhArrays, num_tris: int, stride: int | None = None
+) -> Superleaves:
+    if stride is None:
+        stride = pick_stride(num_tris)
+
+    begin, end = _subtree_ranges(bvh)
+
+    # Cut: maximal subtrees with <= stride triangles (DFS, left first, so
+    # superleaves come out in ascending tri-range order).
+    sl_nodes: list[int] = []
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        size = end[node] - begin[node]
+        if size <= stride or bvh.tri_count[node] > 0:
+            sl_nodes.append(node)
+            continue
+        l = int(bvh.first_or_begin[node])
+        stack.append(l + 1)
+        stack.append(l)
+    n_sl = len(sl_nodes)
+
+    # Repacked soup order: superleaf j's tris at [j*stride, j*stride+len).
+    Tp = n_sl * stride
+    order = np.zeros(Tp, np.int64)
+    valid = np.zeros(Tp, bool)
+    bvhpos_to_padded = np.zeros(num_tris, np.int64)
+    counts = np.zeros(n_sl, np.int32)
+    lo = np.empty((n_sl, 3), np.float32)
+    hi = np.empty((n_sl, 3), np.float32)
+    for j, node in enumerate(sl_nodes):
+        b, e = int(begin[node]), int(end[node])
+        c = e - b
+        counts[j] = c
+        order[j * stride : j * stride + c] = bvh.order[b:e]
+        valid[j * stride : j * stride + c] = True
+        bvhpos_to_padded[b:e] = np.arange(j * stride, j * stride + c)
+        # Padding rows repeat the subtree's first triangle id so downstream
+        # tables stay in-range; `valid` masks them out of the W matrix.
+        order[j * stride + c : (j + 1) * stride] = bvh.order[b]
+        lo[j] = bvh.aabb_min[node]
+        hi[j] = bvh.aabb_max[node]
+
+    # Top tree over superleaf AABBs.
+    top = build_bvh(lo, hi, max_leaf_size=1)
+    if n_sl == 1:
+        tab = np.zeros((128, TOP_COLS), np.float32)
+        return Superleaves(
+            order=order.astype(np.int32),
+            valid=valid,
+            bvhpos_to_padded=bvhpos_to_padded.astype(np.int32),
+            sl_count=1,
+            stride=stride,
+            sl_tri_count=counts,
+            top_tab=tab,
+            top_rows=0,
+            top_root_is_leaf=True,
+            top_depth=1,
+        )
+
+    # Condense internal nodes into rows; re-index internals densely with the
+    # ROOT at row 0 (BFS order keeps parents before children, not required
+    # but cache-friendly).
+    internal = np.nonzero(top.tri_count == 0)[0]
+    row_of = {int(n): i for i, n in enumerate(internal)}
+    rows = len(internal)
+    tab = np.zeros((rows, TOP_COLS), np.float32)
+    assert row_of.get(0) == 0, "root must be internal for n_sl > 1"
+    for n in internal:
+        i = row_of[int(n)]
+        l = int(top.first_or_begin[n])
+        r = l + 1
+        for child, cmin, cmax, cleaf, chi, clo in (
+            (l, COL_LMIN, COL_LMAX, COL_L_ISLEAF, COL_L_HI, COL_L_LO),
+            (r, COL_RMIN, COL_RMAX, COL_R_ISLEAF, COL_R_HI, COL_R_LO),
+        ):
+            tab[i, cmin] = _bf16_down(top.aabb_min[child])
+            tab[i, cmax] = _bf16_up(top.aabb_max[child])
+            if top.tri_count[child] > 0:
+                # Leaf: reference = superleaf id (order maps tri slot -> sl).
+                ref = int(top.order[top.first_or_begin[child]])
+                tab[i, cleaf] = 1.0
+            else:
+                ref = row_of[child]
+                tab[i, cleaf] = 0.0
+            tab[i, chi] = float(ref // 256)
+            tab[i, clo] = float(ref % 256)
+
+    rows_pad = max(128, -(-rows // 128) * 128)
+    if rows_pad != rows:
+        pad = np.zeros((rows_pad - rows, TOP_COLS), np.float32)
+        # Padding rows are never selected (refs only ever point at real
+        # rows); boxes stay at 0 -> degenerate.
+        tab = np.concatenate([tab, pad], axis=0)
+
+    return Superleaves(
+        order=order.astype(np.int32),
+        valid=valid,
+        bvhpos_to_padded=bvhpos_to_padded.astype(np.int32),
+        sl_count=n_sl,
+        stride=stride,
+        sl_tri_count=counts,
+        top_tab=tab,
+        top_rows=rows,
+        top_root_is_leaf=False,
+        top_depth=top.depth,
+    )

@@ -104,10 +104,15 @@ def build_tri_matrix(v0T, e1T, e2T):
 
 
 def scene_tri_matrix(scene) -> jnp.ndarray:
-    """Dense coefficient matrix over the world triangle soup (real tris
-    only; the Pallas wrapper re-pads to its block size)."""
+    """Dense coefficient matrix over the world triangle soup. Dense scenes
+    trim to the real triangle count (the Pallas wrapper re-pads to its block
+    size); superleaf scenes cover the full fixed-stride repacked soup
+    (padding rows are degenerate -> det = 0 -> never valid)."""
 
-    n = scene.num_world_tris
+    if scene.use_bvh and scene.sl_count > 0:
+        n = scene.sl_count * scene.sl_stride
+    else:
+        n = scene.num_world_tris
     return build_tri_matrix(
         scene.wt_v0[:, :n], scene.wt_e1[:, :n], scene.wt_e2[:, :n]
     )
@@ -382,6 +387,200 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
 
 
 # ---------------------------------------------------------------------------
+# Wavefront two-level traversal (TPU; see kernels/pallas_bvh.py)
+# ---------------------------------------------------------------------------
+
+WF_Q = 4  # superleaf hits collected per ray per round
+WF_RAY_BLOCK = 1024
+WF_PAIR_BLOCK = 256
+
+
+def _u32_key(t):
+    """Monotone sort key for positive f32 (t >= eps or F32_MAX)."""
+
+    return jax.lax.bitcast_convert_type(t, jnp.uint32)
+
+
+def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
+    """TPU wavefront replacement for the masked-stack walk: rounds of
+    {top-tree traversal -> MXU pair intersection -> per-ray min} until all
+    stacks drain (bvh_custom.wgsl:195-288 reimagined for the MXU; see
+    kernels/pallas_bvh.py)."""
+
+    from . import pallas_bvh as pb
+
+    B = ro.x.shape[0]
+    SP = scene.sl_stride
+    n_sl = scene.sl_count
+    if W is None:
+        W = scene_tri_matrix(scene)
+
+    RB = min(WF_RAY_BLOCK, max(128, B))
+    pad = (-B) % RB
+    Bp = B + pad
+
+    def padv(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+
+    rop = V3(padv(ro.x), padv(ro.y), padv(ro.z))
+    rdp = V3(padv(rd.x), padv(rd.y, 1.0), padv(rd.z))
+    PB = WF_PAIR_BLOCK
+    QB = WF_Q * Bp
+    MAXP = QB + min(n_sl, QB) * PB
+    MAXP = -(-MAXP // PB) * PB
+    n_pb = MAXP // PB
+
+    if scene.top_root_is_leaf:
+        # Single superleaf: every ray tests block 0; one round, no sort.
+        n_blk = -(-Bp // PB)
+        Pp = n_blk * PB
+        R = _ray_matrix_pairs(rop, rdp, Pp - Bp)
+        meta = jnp.stack(
+            [jnp.zeros(n_blk, jnp.int32),
+             jnp.full(n_blk, PB, jnp.int32)], axis=1
+        )
+        t, u, v, det, li = pb.pair_intersect(meta, R, W, eps, SP=SP,
+                                             pair_block=PB)
+        t, u, v, det, li = (a[:B] for a in (t, u, v, det, li))
+        return HitInfo(
+            hit=t < F32_MAX, dst=t, u=u, v=v, tri=li, backside=det > 0.0
+        )
+
+    S = scene.top_depth + 2
+    pair_ray0 = jnp.tile(jnp.arange(Bp, dtype=jnp.int32), WF_Q)
+    arange_p = jnp.arange(MAXP, dtype=jnp.int32)
+
+    real_lane = jnp.arange(Bp) < B
+    init = dict(
+        stack=jnp.zeros((S, Bp), jnp.int32),  # root ref = row 0
+        sp=real_lane.astype(jnp.int32),
+        best_t=jnp.full(Bp, F32_MAX),
+        best_u=jnp.zeros(Bp, jnp.float32),
+        best_v=jnp.zeros(Bp, jnp.float32),
+        best_det=jnp.zeros(Bp, jnp.float32),
+        best_tri=jnp.zeros(Bp, jnp.int32),
+    )
+
+    def cond(c):
+        return jnp.any(c["sp"] > 0)
+
+    def body(c):
+        sl, cnt, stack, sp = pb.top_traverse(
+            scene.top_tab, rop, rdp, c["best_t"], c["stack"], c["sp"],
+            S=S, Q=WF_Q, ray_block=RB,
+        )
+        # ---- group pairs by superleaf (q-major flatten; empties last) ----
+        pair_sl = sl.reshape(-1)
+        real = pair_sl >= 0
+        key = jnp.where(real, pair_sl, n_sl)
+        order = jnp.argsort(key)
+        s_sl = key[order]
+        s_ray = pair_ray0[order]
+        s_real = real[order]
+
+        counts = jnp.zeros(n_sl + 1, jnp.int32).at[key].add(1)
+        cnt_sl = counts[:n_sl]
+        padded = -(-cnt_sl // PB) * PB
+        poff = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)]
+        )
+        seg_start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_sl)]
+        )
+        rank = jnp.arange(WF_Q * Bp, dtype=jnp.int32) - seg_start[
+            jnp.minimum(s_sl, n_sl)
+        ]
+        pos = poff[jnp.minimum(s_sl, n_sl - 1)] + rank
+        pos = jnp.where(s_real, pos, MAXP)  # out-of-range -> dropped
+
+        p_ray = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_ray, mode="drop")
+        p_sl = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_sl, mode="drop")
+        p_valid = (
+            jnp.zeros(MAXP, bool).at[pos].set(s_real, mode="drop")
+        )
+        blk_sl = (
+            jnp.searchsorted(
+                poff[1:], jnp.arange(n_pb, dtype=jnp.int32) * PB, side="right"
+            )
+        ).astype(jnp.int32)
+        blk_sl = jnp.minimum(blk_sl, n_sl - 1)
+        blk_real = p_valid.reshape(n_pb, PB).sum(axis=1).astype(jnp.int32)
+        meta = jnp.stack([blk_sl, blk_real], axis=1)
+
+        # ---- MXU pair intersection ----
+        pro = v3.V3(rop.x[p_ray], rop.y[p_ray], rop.z[p_ray])
+        prd = v3.V3(rdp.x[p_ray], rdp.y[p_ray], rdp.z[p_ray])
+        R = _ray_matrix_pairs(pro, prd, 0)
+        t, u, v, det, li = pb.pair_intersect(
+            meta, R, W, eps, SP=SP, pair_block=PB
+        )
+        t = jnp.where(p_valid, t, F32_MAX)
+        gtri = p_sl * SP + li
+
+        # ---- per-ray min reduce (bitcast keys are monotone for t > 0) ----
+        key0 = _u32_key(c["best_t"])
+        bk = key0.at[p_ray].min(_u32_key(t))
+        new_t = jax.lax.bitcast_convert_type(bk, jnp.float32)
+        win = p_valid & (_u32_key(t) == bk[p_ray]) & (t < F32_MAX)
+        bp = (
+            jnp.full(Bp, MAXP, jnp.int32)
+            .at[p_ray]
+            .min(jnp.where(win, arange_p, MAXP))
+        )
+        win2 = win & (arange_p == bp[p_ray])
+
+        def scat(payload, fill, dtype):
+            return (
+                jnp.full(Bp, fill, dtype)
+                .at[p_ray]
+                .max(jnp.where(win2, payload, fill))
+            )
+
+        updated = new_t < c["best_t"]
+        best_u = jnp.where(updated, scat(u, -F32_MAX, jnp.float32), c["best_u"])
+        best_v = jnp.where(updated, scat(v, -F32_MAX, jnp.float32), c["best_v"])
+        best_det = jnp.where(
+            updated, scat(det, -F32_MAX, jnp.float32), c["best_det"]
+        )
+        best_tri = jnp.where(
+            updated, scat(gtri, -(2**30), jnp.int32), c["best_tri"]
+        )
+        return dict(
+            stack=stack,
+            sp=sp,
+            best_t=new_t,
+            best_u=best_u,
+            best_v=best_v,
+            best_det=best_det,
+            best_tri=best_tri,
+        )
+
+    c = jax.lax.while_loop(cond, body, init)
+    t = c["best_t"][:B]
+    return HitInfo(
+        hit=t < F32_MAX,
+        dst=t,
+        u=c["best_u"][:B],
+        v=c["best_v"][:B],
+        tri=jnp.maximum(c["best_tri"][:B], 0),
+        backside=c["best_det"][:B] > 0.0,
+    )
+
+
+def _ray_matrix_pairs(ro: V3, rd: V3, pad: int):
+    """(P, 10) ray feature rows (see pallas_intersect._ray_matrix)."""
+
+    c = v3.cross(ro, rd)
+    ones = jnp.ones_like(ro.x)
+    R = jnp.stack(
+        [rd.x, rd.y, rd.z, c.x, c.y, c.z, ro.x, ro.y, ro.z, ones], axis=-1
+    )
+    if pad:
+        R = jnp.pad(R, ((0, pad), (0, 0)))
+    return R
+
+
+# ---------------------------------------------------------------------------
 # Unified entry points
 # ---------------------------------------------------------------------------
 
@@ -397,6 +596,10 @@ def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> Hit
     if scene.instances_empty:
         return miss(ro.x.shape)
     if scene.use_bvh:
+        if _use_pallas() and scene.sl_count > 0:
+            return _fixup_backside(
+                scene, closest_hit_wavefront(scene, ro, rd, eps, W=W)
+            )
         return _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
     if scene.num_world_tris <= UNROLL_MAX_TRIS:
         return _fixup_backside(scene, closest_hit_unrolled(scene, ro, rd, eps))

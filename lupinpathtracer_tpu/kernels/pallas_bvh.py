@@ -1,0 +1,355 @@
+"""Pallas TPU wavefront two-level BVH traversal.
+
+TPU-native replacement for the reference's per-thread BVH walk
+(bvh_custom.wgsl:195-288). The reference gives every ray its own stack and
+data-dependent loop on a SIMT GPU; a TPU has neither per-lane control flow
+nor fast per-lane gathers, so the walk is decomposed into phases that map
+onto the hardware (see accel/superleaf.py for the data structures):
+
+Phase A (`top_traverse`) — masked wavefront traversal of the tiny top tree.
+  The condensed row table (one row per internal node holding BOTH children's
+  bf16 AABBs + child refs) lives in VMEM; a traversal step fetches a lane's
+  row with an exact one-hot (RB, rows)@(rows, 18) bf16 matmul — the MXU *is*
+  the gather unit. Each ray block runs its own while-loop (divergence is
+  bounded per 1k-ray block, not globally), collects up to Q superleaf hits,
+  and persists its stack/stack-pointer so traversal resumes next round with
+  a tighter best_t.
+
+Phase B (`pair_intersect`) — dense MXU intersection of (ray, superleaf)
+  pairs. Pairs are grouped by superleaf (XLA argsort) into fixed blocks; the
+  per-block superleaf id is a scalar-prefetch argument whose index_map picks
+  the (4, 10, SP) slice of the padded-soup coefficient matrix, so each grid
+  step is exactly the dense kernel of kernels/pallas_intersect.py run
+  against one superleaf's triangle block.
+
+The orchestration (rounds, pair building, per-ray reduction) lives in
+kernels/intersect.py::closest_hit_wavefront.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.superleaf import (
+    COL_L_HI,
+    COL_L_ISLEAF,
+    COL_L_LO,
+    COL_LMAX,
+    COL_LMIN,
+    COL_R_HI,
+    COL_R_ISLEAF,
+    COL_R_LO,
+    COL_RMAX,
+    COL_RMIN,
+    TOP_COLS,
+)
+
+F32_MAX = 3.4028235e38
+
+
+# ---------------------------------------------------------------------------
+# Phase A: top-tree traversal
+# ---------------------------------------------------------------------------
+
+
+def _slab(rox, roy, roz, idx, idy, idz, fetch, lo_sl, hi_sl):
+    """Ray/AABB slab test against fetched (RB, 18) rows; F32_MAX on miss
+    (pathtracer.wgsl:2906-2918)."""
+
+    lox, loy, loz = fetch[:, lo_sl.start], fetch[:, lo_sl.start + 1], fetch[:, lo_sl.start + 2]
+    hix, hiy, hiz = fetch[:, hi_sl.start], fetch[:, hi_sl.start + 1], fetch[:, hi_sl.start + 2]
+    tx1 = (lox - rox) * idx
+    tx2 = (hix - rox) * idx
+    ty1 = (loy - roy) * idy
+    ty2 = (hiy - roy) * idy
+    tz1 = (loz - roz) * idz
+    tz2 = (hiz - roz) * idz
+    t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)), jnp.maximum(tz1, tz2))
+    t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)), jnp.minimum(tz1, tz2))
+    ok = (t_far >= t_near) & (t_far > 0.0)
+    return jnp.where(ok, t_near, F32_MAX)
+
+
+def _decode_ref(fetch, leaf_c, hi_c, lo_c):
+    """Child reference: >=0 internal row index, <0 encoded superleaf
+    (-(sl+1)). hi/lo factors are bf16-exact (<= 256 each)."""
+
+    rid = (fetch[:, hi_c] * 256.0 + fetch[:, lo_c]).astype(jnp.int32)
+    is_leaf = fetch[:, leaf_c] > 0.5
+    return jnp.where(is_leaf, -rid - 1, rid)
+
+
+def _top_kernel(
+    tab_ref,
+    rox_ref, roy_ref, roz_ref,
+    rdx_ref, rdy_ref, rdz_ref,
+    bt_ref,
+    stack_in_ref, sp_in_ref,
+    sl_ref, cnt_ref, stack_out_ref, sp_out_ref,
+    *, S, Q,
+):
+    def vec(ref):
+        return ref[0].reshape(-1)  # (1, sub, 128) -> (RB,)
+
+    rox, roy, roz = vec(rox_ref), vec(roy_ref), vec(roz_ref)
+    rdx, rdy, rdz = vec(rdx_ref), vec(rdy_ref), vec(rdz_ref)
+    best_t = vec(bt_ref)
+    idx = 1.0 / rdx
+    idy = 1.0 / rdy
+    idz = 1.0 / rdz
+    RB = rox.shape[0]
+    ROWS = tab_ref.shape[0]
+    tab = tab_ref[...]  # (ROWS, TOP_COLS) bf16
+
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, RB), 0)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (Q, RB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (RB, ROWS), 1)
+
+    def cond(c):
+        stack, sp, cnt, out = c
+        return jnp.any((sp > 0) & (cnt < Q))
+
+    def body(c):
+        stack, sp, cnt, out = c
+        active = (sp > 0) & (cnt < Q)
+        spm1 = jnp.where(active, sp - 1, 0)
+        node = jnp.sum(
+            jnp.where((srow == spm1[None, :]) & active[None, :], stack, 0),
+            axis=0,
+        )
+        sp = jnp.where(active, spm1, sp)
+
+        # Leaf pop: append the superleaf id to the output slots.
+        em = active & (node < 0)
+        sl = -node - 1
+        out = jnp.where(
+            (qrow == cnt[None, :]) & em[None, :], sl[None, :], out
+        )
+        cnt = cnt + em.astype(jnp.int32)
+
+        # Internal pop: fetch both children with one exact one-hot matmul.
+        is_int = active & (node >= 0)
+        row = jnp.where(is_int, node, 0)
+        onehot = ((col == row[:, None]) & is_int[:, None]).astype(jnp.bfloat16)
+        fetch = jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
+
+        tl = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_LMIN, COL_LMAX)
+        tr = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_RMIN, COL_RMAX)
+        lref = _decode_ref(fetch, COL_L_ISLEAF, COL_L_HI, COL_L_LO)
+        rref = _decode_ref(fetch, COL_R_ISLEAF, COL_R_HI, COL_R_LO)
+
+        push_l = is_int & (tl < best_t)
+        push_r = is_int & (tr < best_t)
+        left_near = tl <= tr
+        near = jnp.where(left_near, lref, rref)
+        far = jnp.where(left_near, rref, lref)
+        push_near = jnp.where(left_near, push_l, push_r)
+        push_far = jnp.where(left_near, push_r, push_l)
+
+        stack = jnp.where(
+            (srow == sp[None, :]) & push_far[None, :], far[None, :], stack
+        )
+        sp = sp + push_far.astype(jnp.int32)
+        stack = jnp.where(
+            (srow == sp[None, :]) & push_near[None, :], near[None, :], stack
+        )
+        sp = sp + push_near.astype(jnp.int32)
+        return stack, sp, cnt, out
+
+    init = (
+        stack_in_ref[0],
+        vec(sp_in_ref),
+        jnp.zeros((RB,), jnp.int32),
+        jnp.full((Q, RB), -1, jnp.int32),
+    )
+    stack, sp, cnt, out = jax.lax.while_loop(cond, body, init)
+    sl_ref[0] = out
+    cnt_ref[0] = cnt.reshape(cnt_ref.shape[1:])
+    stack_out_ref[0] = stack
+    sp_out_ref[0] = sp.reshape(sp_out_ref.shape[1:])
+
+
+def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=1024):
+    """One round of top-tree traversal.
+
+    tab: (rows_pad, TOP_COLS) bf16; ro/rd: V3 over Bp rays (Bp a multiple of
+    ray_block); best_t: (Bp,); stack: (S, Bp) i32; sp: (Bp,) i32.
+    Returns (sl (Q, Bp) i32 with -1 empties, cnt (Bp,), stack', sp')."""
+
+    Bp = ro.x.shape[0]
+    RB = min(ray_block, Bp)
+    assert Bp % RB == 0, (Bp, RB)
+    n_rb = Bp // RB
+    sub = RB // 128
+
+    def shape3(x):
+        return x.reshape(n_rb, sub, 128)
+
+    stack_blocks = stack.reshape(S, n_rb, RB).transpose(1, 0, 2)
+
+    vec_spec = pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    stack_spec = pl.BlockSpec((1, S, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sl_spec = pl.BlockSpec((1, Q, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_rb, Q, RB), jnp.int32),
+        jax.ShapeDtypeStruct((n_rb, sub, 128), jnp.int32),
+        jax.ShapeDtypeStruct((n_rb, S, RB), jnp.int32),
+        jax.ShapeDtypeStruct((n_rb, sub, 128), jnp.int32),
+    )
+    sl, cnt, stack_o, sp_o = pl.pallas_call(
+        functools.partial(_top_kernel, S=S, Q=Q),
+        grid=(n_rb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [vec_spec] * 7
+        + [stack_spec, vec_spec],
+        out_specs=(sl_spec, vec_spec, stack_spec, vec_spec),
+        out_shape=out_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(
+        tab,
+        shape3(ro.x), shape3(ro.y), shape3(ro.z),
+        shape3(rd.x), shape3(rd.y), shape3(rd.z),
+        shape3(best_t),
+        stack_blocks, shape3(sp),
+    )
+    return (
+        sl.transpose(1, 0, 2).reshape(Q, Bp),
+        cnt.reshape(Bp),
+        stack_o.transpose(1, 0, 2).reshape(S, Bp),
+        sp_o.reshape(Bp),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase B: (ray, superleaf) pair intersection
+# ---------------------------------------------------------------------------
+
+
+def _pair_kernel(meta_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
+                 det_ref, idx_ref, *, TB):
+    """Dense closest hit of one pair block against one superleaf's triangle
+    block. Identical math to pallas_intersect._kernel; the W block is chosen
+    by the scalar-prefetched superleaf id (index_map), and blocks with no
+    real pairs are skipped."""
+
+    i = pl.program_id(0)
+    n_real = meta_ref[i, 1]
+    t_ref[0] = jnp.full(t_ref.shape[1:], F32_MAX)
+
+    @pl.when(n_real > 0)
+    def _run():
+        R = R_ref[0]  # (PB, 10)
+        PB = R.shape[0]
+        SP = W_ref.shape[2]
+        eps = eps_ref[0]
+        num_blocks = SP // TB
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PB, TB), 1)
+
+        def body(k, carry):
+            bt, bu, bv, bdet, bidx = carry
+            off = k * TB
+            dot = functools.partial(
+                jnp.dot,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            Wblk = jnp.concatenate(
+                [
+                    W_ref[0, :, pl.ds(off, TB)],
+                    W_ref[1, :, pl.ds(off, TB)],
+                    W_ref[2, :, pl.ds(off, TB)],
+                    W_ref[3, :, pl.ds(off, TB)],
+                ],
+                axis=1,
+            )
+            M = dot(R, Wblk)
+            det = M[:, 0:TB]
+            nu = M[:, TB : 2 * TB]
+            nv = M[:, 2 * TB : 3 * TB]
+            nt = M[:, 3 * TB : 4 * TB]
+            d = 1.0 / det
+            t = nt * d
+            u = nu * d
+            v = nv * d
+            valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= eps)
+            tt = jnp.where(valid, t, F32_MAX)
+
+            blk_t = jnp.min(tt, axis=1)
+            at_min = tt <= blk_t[:, None]
+            blk_idx = jnp.min(jnp.where(at_min, lane, 2**30), axis=1)
+            onehot = lane == blk_idx[:, None]
+
+            def pick(x):
+                return jnp.sum(jnp.where(onehot, x, 0.0), axis=1)
+
+            upd = blk_t < bt
+            return (
+                jnp.where(upd, blk_t, bt),
+                jnp.where(upd, pick(u), bu),
+                jnp.where(upd, pick(v), bv),
+                jnp.where(upd, pick(det), bdet),
+                jnp.where(upd, blk_idx + off, bidx),
+            )
+
+        init = (
+            jnp.full((PB,), F32_MAX),
+            jnp.zeros((PB,), jnp.float32),
+            jnp.zeros((PB,), jnp.float32),
+            jnp.zeros((PB,), jnp.float32),
+            jnp.zeros((PB,), jnp.int32),
+        )
+        bt, bu, bv, bdet, bidx = jax.lax.fori_loop(0, num_blocks, body, init)
+        t_ref[0] = bt.reshape(t_ref.shape[1:])
+        u_ref[0] = bu.reshape(u_ref.shape[1:])
+        v_ref[0] = bv.reshape(v_ref.shape[1:])
+        det_ref[0] = bdet.reshape(det_ref.shape[1:])
+        idx_ref[0] = bidx.reshape(idx_ref.shape[1:])
+
+
+def pair_intersect(meta, R, W4, eps, *, SP, pair_block=256, tri_block=None):
+    """meta: (n_pb, 2) i32 [superleaf id, real pair count] per pair block;
+    R: (Pp, 10) f32 ray features (Pp = n_pb * pair_block); W4: (4, 10,
+    n_sl*SP) padded-soup coefficient matrix. Returns per-pair
+    (t, u, v, det, local tri idx)."""
+
+    n_pb = meta.shape[0]
+    PB = pair_block
+    assert R.shape[0] == n_pb * PB
+    TB = tri_block or min(SP, 512)
+    assert SP % TB == 0
+    sub = PB // 128
+
+    vec = lambda dt: jax.ShapeDtypeStruct((n_pb, sub, 128), dt)
+    out_shapes = (
+        vec(jnp.float32), vec(jnp.float32), vec(jnp.float32),
+        vec(jnp.float32), vec(jnp.int32),
+    )
+    vec_spec = pl.BlockSpec((1, sub, 128), lambda i, m: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pb,),
+        in_specs=[
+            pl.BlockSpec((1, PB, 10), lambda i, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 10, SP), lambda i, m: (0, 0, m[i, 0]), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(vec_spec,) * 5,
+    )
+    t, u, v, det, idx = pl.pallas_call(
+        functools.partial(_pair_kernel, TB=TB),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(meta, R.reshape(n_pb, PB, 10), W4, jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
+    P = n_pb * PB
+    return (
+        t.reshape(P), u.reshape(P), v.reshape(P), det.reshape(P),
+        idx.reshape(P),
+    )

@@ -46,7 +46,12 @@ def make_ctx(scene, eps):
     intersector is active) and the light-triangle matrix for pdf evaluation.
     XLA hoists these out of the bounce loop."""
 
-    W = None if scene.use_bvh else intersect.scene_tri_matrix(scene)
+    # Dense mode and the superleaf wavefront both consume the coefficient
+    # matrix; only the legacy CPU/jnp BVH walk does not.
+    if scene.use_bvh and scene.sl_count == 0:
+        W = None
+    else:
+        W = intersect.scene_tri_matrix(scene)
     small_lights = scene.lt_v0.shape[1] <= 32
     Wl = (
         None

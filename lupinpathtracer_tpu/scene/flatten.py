@@ -50,6 +50,13 @@ class SceneTPU:
     use_bvh: bool = struct.field(pytree_node=False)
     bvh_depth: int = struct.field(pytree_node=False)
     bvh_leaf_size: int = struct.field(pytree_node=False)
+    # Superleaf decomposition (accel/superleaf.py): the soup is repacked to
+    # sl_count fixed-stride blocks and a condensed top tree drives the
+    # wavefront traversal kernel (kernels/pallas_bvh.py). Zero when dense.
+    sl_count: int = struct.field(pytree_node=False)
+    sl_stride: int = struct.field(pytree_node=False)
+    top_depth: int = struct.field(pytree_node=False)
+    top_root_is_leaf: bool = struct.field(pytree_node=False)
     has_alpha: bool = struct.field(pytree_node=False)
     envs_empty: bool = struct.field(pytree_node=False)
     lights_empty: bool = struct.field(pytree_node=False)
@@ -124,6 +131,9 @@ class SceneTPU:
     bvh_max: jnp.ndarray  # (3,N) f32
     bvh_first: jnp.ndarray  # (N,) i32
     bvh_count: jnp.ndarray  # (N,) i32
+    # Condensed top-tree row table, bf16 (rows_pad, TOP_COLS); (1,1) dummy
+    # in dense mode.
+    top_tab: jnp.ndarray
 
     # --- materials SoA (component-major) ---
     mat_color: jnp.ndarray  # (4,M)
@@ -440,27 +450,55 @@ def build_scene_tpu(
         env_alias_offset_l.append(ea_cursor)
         ea_cursor += prob.shape[0]
 
-    # ---- world BVH ----
+    # ---- world BVH + superleaf decomposition ----
     use_bvh = Tw > dense_max_tris
+    sl_count = 0
+    sl_stride = 0
+    top_depth = 1
+    top_root_is_leaf = False
+    top_tab = np.zeros((1, 1), np.float32)
     if use_bvh and Tw > 0:
+        from ..accel import superleaf as sl_mod
+
         lo, hi = bvh_mod.tri_bounds(wt_v0, wt_v0 + wt_e1, wt_v0 + wt_e2)
         tree = bvh_mod.build_bvh(lo, hi, max_leaf_size=bvh_leaf_size)
-        order = tree.order.astype(np.int64)
+        sls = sl_mod.build_superleaves(tree, Tw)
+        # Repack the soup into fixed-stride superleaf blocks (the wavefront
+        # kernel addresses a superleaf's triangles purely by its id).
+        order = sls.order.astype(np.int64)
         for k in wt:
             wt[k] = wt[k][order]
+        # Degenerate the padding rows so they can never report a hit
+        # (det = 0 -> invalid in every intersector).
+        inval = ~sls.valid
+        wt["e1"][inval] = 0.0
+        wt["e2"][inval] = 0.0
+        # Remap the legacy (CPU/jnp) traversal's leaf ranges into the
+        # repacked soup: a SAH leaf is inside one superleaf, so its range
+        # stays contiguous.
+        leaf = tree.tri_count > 0
+        bvh_first = tree.first_or_begin.copy()
+        bvh_first[leaf] = sls.bvhpos_to_padded[tree.first_or_begin[leaf]]
         bvh_min, bvh_max = tree.aabb_min, tree.aabb_max
-        bvh_first, bvh_count = tree.first_or_begin, tree.tri_count
+        bvh_count = tree.tri_count
         bvh_depth = tree.depth
+        sl_count = sls.sl_count
+        sl_stride = sls.stride
+        top_depth = sls.top_depth
+        top_root_is_leaf = sls.top_root_is_leaf
+        top_tab = sls.top_tab
+        Tw_padded = sls.order.shape[0]
     else:
         bvh_min = np.zeros((1, 3), np.float32)
         bvh_max = np.zeros((1, 3), np.float32)
         bvh_first = np.zeros(1, np.int32)
         bvh_count = np.array([Tw], np.int32)
         bvh_depth = 1
+        Tw_padded = Tw
 
     # Pad the triangle soup: to a lane multiple for the dense MXU kernel, plus
     # slack so leaf-block gathers (begin + leaf_size) never run off the end.
-    pad_to = max(((Tw + 127) // 128) * 128, 128) + bvh_leaf_size
+    pad_to = max(((Tw_padded + 127) // 128) * 128, 128) + bvh_leaf_size
     for k in wt:
         wt[k] = _pad_rows(wt[k], pad_to)
     wt_v0, wt_e1, wt_e2 = wt["v0"], wt["e1"], wt["e2"]
@@ -622,6 +660,10 @@ def build_scene_tpu(
         use_bvh=bool(use_bvh),
         bvh_depth=int(bvh_depth),
         bvh_leaf_size=int(bvh_leaf_size),
+        sl_count=int(sl_count),
+        sl_stride=int(sl_stride),
+        top_depth=int(top_depth),
+        top_root_is_leaf=bool(top_root_is_leaf),
         has_alpha=bool(has_alpha),
         envs_empty=ne == 0,
         lights_empty=nl == 0,
@@ -671,6 +713,7 @@ def build_scene_tpu(
         bvh_max=dev(np.ascontiguousarray(bvh_max.T)),
         bvh_first=dev(bvh_first, np.int32),
         bvh_count=dev(bvh_count, np.int32),
+        top_tab=jnp.asarray(top_tab).astype(jnp.bfloat16),
         mat_color=dev(mat_color.T),
         mat_emission=dev(mat_emission.T),
         mat_scattering=dev(mat_scattering.T),

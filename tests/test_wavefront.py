@@ -1,0 +1,129 @@
+"""Wavefront two-level BVH traversal vs the legacy masked-stack walk."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lupinpathtracer_tpu.accel import superleaf as sl_mod
+from lupinpathtracer_tpu.accel.bvh import build_bvh, tri_bounds
+from lupinpathtracer_tpu.core import vec3 as v3
+from lupinpathtracer_tpu.io import builtin
+from lupinpathtracer_tpu.kernels import intersect
+from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
+from lupinpathtracer_tpu.core.types import Material
+from lupinpathtracer_tpu.scene.scene import MeshCPU, InstanceCPU, SceneCPU
+
+
+def _tri_sphere_scene(n_lat=24, n_lon=32):
+    """A UV-sphere + ground quad: ~1.5k tris, forces several superleaves
+    with a small stride."""
+
+    lat = np.linspace(0.1, np.pi - 0.1, n_lat)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    pts = []
+    for a in lat:
+        for b in lon:
+            pts.append(
+                [np.sin(a) * np.cos(b), np.cos(a) + 1.5, np.sin(a) * np.sin(b)]
+            )
+    pts = np.asarray(pts, np.float32)
+    idx = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            idx += [[a, b, c], [b, d, c]]
+    base = pts.shape[0]
+    quad = np.array(
+        [[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]], np.float32
+    )
+    pts = np.concatenate([pts, quad])
+    idx += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    mesh = MeshCPU(
+        positions=pts, indices=np.asarray(idx, np.int32),
+        normals=None, texcoords=None, colors=None,
+    )
+    mat = Material()
+    inst = InstanceCPU(frame=np.eye(3, 4, dtype=np.float32), mesh_idx=0, mat_idx=0)
+    return SceneCPU(
+        meshes=[mesh], instances=[inst], materials=[mat],
+        environments=[], textures=[],
+    )
+
+
+def _random_rays(rng, B, origin_span=3.0):
+    ro = v3.V3(*(jnp.asarray(rng.uniform(-origin_span, origin_span, B), jnp.float32) for _ in range(3)))
+    d = rng.normal(size=(3, B)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    rd = v3.V3(*(jnp.asarray(c) for c in d))
+    return ro, rd
+
+
+def test_superleaf_structure():
+    scene = _tri_sphere_scene()
+    from lupinpathtracer_tpu.core import math3d
+
+    m = scene.meshes[0]
+    p = m.positions
+    tri = m.indices
+    lo, hi = tri_bounds(p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]])
+    tree = build_bvh(lo, hi)
+    sls = sl_mod.build_superleaves(tree, lo.shape[0], stride=256)
+    T = lo.shape[0]
+    assert sls.sl_count >= 2
+    assert sls.order.shape[0] == sls.sl_count * sls.stride
+    # Every real triangle appears exactly once among valid rows.
+    real = sls.order[sls.valid]
+    assert sorted(real.tolist()) == list(range(T))
+    assert (sls.sl_tri_count <= sls.stride).all()
+    assert sls.sl_tri_count.sum() == T
+    # Table refs decode in range.
+    tab = sls.top_tab[: sls.top_rows]
+    for leaf_c, hi_c, lo_c in (
+        (sl_mod.COL_L_ISLEAF, sl_mod.COL_L_HI, sl_mod.COL_L_LO),
+        (sl_mod.COL_R_ISLEAF, sl_mod.COL_R_HI, sl_mod.COL_R_LO),
+    ):
+        ref = tab[:, hi_c] * 256 + tab[:, lo_c]
+        leaf = tab[:, leaf_c] > 0.5
+        assert (ref[leaf] < sls.sl_count).all()
+        assert (ref[~leaf] < sls.top_rows).all()
+    # bf16 rounding is outward.
+    assert (tab[:, sl_mod.COL_LMIN].min() <= tree.aabb_min.min() + 1e-3)
+
+
+@pytest.mark.parametrize("n_rays", [512])
+def test_wavefront_matches_stack_walk(n_rays, rng):
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    assert tpu.use_bvh and tpu.sl_count >= 2
+
+    ro, rd = _random_rays(rng, n_rays)
+    ref = intersect.closest_hit_bvh(tpu, ro, rd, 1e-4)
+    got = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+    )
+    # The winning triangle may legitimately differ on shared edges; the
+    # distances must not.
+    same = np.asarray(got.tri) == np.asarray(ref.tri)
+    assert same[h].mean() > 0.95
+
+
+def test_wavefront_single_superleaf(rng):
+    scene, _ = builtin.build_scene_cornell_box()
+    tpu = build_scene_tpu(scene, dense_max_tris=8)
+    assert tpu.use_bvh and tpu.top_root_is_leaf
+
+    ro, rd = _random_rays(rng, 256, origin_span=0.8)
+    ref = intersect.closest_hit_bvh(tpu, ro, rd, 1e-4)
+    got = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+    )
