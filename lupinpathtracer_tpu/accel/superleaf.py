@@ -110,9 +110,14 @@ def _subtree_ranges(bvh: BvhArrays) -> tuple[np.ndarray, np.ndarray]:
     return begin, end
 
 
-def pick_stride(num_tris: int, max_top_rows: int = 2048) -> int:
-    """Smallest power-of-two stride (>=256) keeping the top table small
-    enough for a VMEM-resident one-hot matmul."""
+def pick_stride(num_tris: int, max_top_rows: int = 512) -> int:
+    """Smallest power-of-two stride (>=256) keeping the top table small.
+
+    The traversal kernel pays one (RB, rows)@(rows, 18) one-hot matmul per
+    lockstep step, so a SHALLOW top tree with few rows wins: superleaf
+    triangle tests ride the MXU at ~100x lower per-triangle cost than a
+    traversal step, making big leaves the right trade (measured: stride 512
+    / 1319 rows was traversal-bound)."""
 
     stride = 256
     while num_tris / stride > max_top_rows * 0.75:

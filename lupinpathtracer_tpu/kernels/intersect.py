@@ -391,7 +391,7 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
 # ---------------------------------------------------------------------------
 
 WF_Q = 4  # superleaf hits collected per ray per round
-WF_RAY_BLOCK = 1024
+WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
 
 
@@ -415,8 +415,7 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
     if W is None:
         W = scene_tri_matrix(scene)
 
-    RB = min(WF_RAY_BLOCK, max(128, B))
-    pad = (-B) % RB
+    pad = (-B) % WF_RAY_BLOCK
     Bp = B + pad
 
     def padv(x, fill=0.0):
@@ -435,20 +434,16 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
         n_blk = -(-Bp // PB)
         Pp = n_blk * PB
         R = _ray_matrix_pairs(rop, rdp, Pp - Bp)
-        meta = jnp.stack(
-            [jnp.zeros(n_blk, jnp.int32),
-             jnp.full(n_blk, PB, jnp.int32)], axis=1
+        t, u, v, det, li = pb.pair_intersect(
+            jnp.zeros(n_blk, jnp.int32), jnp.full(n_blk, PB, jnp.int32),
+            R, W, eps, SP=SP, pair_block=PB,
         )
-        t, u, v, det, li = pb.pair_intersect(meta, R, W, eps, SP=SP,
-                                             pair_block=PB)
         t, u, v, det, li = (a[:B] for a in (t, u, v, det, li))
         return HitInfo(
             hit=t < F32_MAX, dst=t, u=u, v=v, tri=li, backside=det > 0.0
         )
 
     S = scene.top_depth + 2
-    pair_ray0 = jnp.tile(jnp.arange(Bp, dtype=jnp.int32), WF_Q)
-    arange_p = jnp.arange(MAXP, dtype=jnp.int32)
 
     real_lane = jnp.arange(Bp) < B
     init = dict(
@@ -461,101 +456,58 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
         best_tri=jnp.zeros(Bp, jnp.int32),
     )
 
-    def cond(c):
-        return jnp.any(c["sp"] > 0)
+    def full_round(c):
+        return _wf_round(scene, W, eps, rop, rdp, c, S=S, PB=PB)
 
-    def body(c):
-        sl, cnt, stack, sp = pb.top_traverse(
-            scene.top_tab, rop, rdp, c["best_t"], c["stack"], c["sp"],
-            S=S, Q=WF_Q, ray_block=RB,
+    # Stage 1: full-batch rounds while the straggler set is still large.
+    # Stage 2: the few lanes with deep traversals (misses have no best-t to
+    # prune with and can touch every superleaf on their line) are compacted
+    # into a small buffer so their extra rounds cost a fraction of a full
+    # sweep — the lockstep-tail fix the masked-stack walk never had.
+    C = min(Bp, max(2048, (Bp // 16 // 2048) * 2048))
+    if Bp > C:
+        c = jax.lax.while_loop(
+            lambda c: jnp.sum((c["sp"] > 0).astype(jnp.int32)) > C,
+            full_round,
+            init,
         )
-        # ---- group pairs by superleaf (q-major flatten; empties last) ----
-        pair_sl = sl.reshape(-1)
-        real = pair_sl >= 0
-        key = jnp.where(real, pair_sl, n_sl)
-        order = jnp.argsort(key)
-        s_sl = key[order]
-        s_ray = pair_ray0[order]
-        s_real = real[order]
+    else:
+        c = init
+        C = Bp
 
-        counts = jnp.zeros(n_sl + 1, jnp.int32).at[key].add(1)
-        cnt_sl = counts[:n_sl]
-        padded = -(-cnt_sl // PB) * PB
-        poff = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)]
-        )
-        seg_start = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_sl)]
-        )
-        rank = jnp.arange(WF_Q * Bp, dtype=jnp.int32) - seg_start[
-            jnp.minimum(s_sl, n_sl)
-        ]
-        pos = poff[jnp.minimum(s_sl, n_sl - 1)] + rank
-        pos = jnp.where(s_real, pos, MAXP)  # out-of-range -> dropped
+    arange_b = jnp.arange(Bp, dtype=jnp.int32)
+    arange_c = jnp.arange(C, dtype=jnp.int32)
 
-        p_ray = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_ray, mode="drop")
-        p_sl = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_sl, mode="drop")
-        p_valid = (
-            jnp.zeros(MAXP, bool).at[pos].set(s_real, mode="drop")
-        )
-        blk_sl = (
-            jnp.searchsorted(
-                poff[1:], jnp.arange(n_pb, dtype=jnp.int32) * PB, side="right"
-            )
-        ).astype(jnp.int32)
-        blk_sl = jnp.minimum(blk_sl, n_sl - 1)
-        blk_real = p_valid.reshape(n_pb, PB).sum(axis=1).astype(jnp.int32)
-        meta = jnp.stack([blk_sl, blk_real], axis=1)
+    def tail_round(c):
+        pending = c["sp"] > 0
+        n_pend = jnp.cumsum(pending.astype(jnp.int32))
+        slot = jnp.where(pending, n_pend - 1, C)
+        idx = jnp.zeros(C, jnp.int32).at[slot].set(arange_b, mode="drop")
+        valid = arange_c < n_pend[-1]
 
-        # ---- MXU pair intersection ----
-        pro = v3.V3(rop.x[p_ray], rop.y[p_ray], rop.z[p_ray])
-        prd = v3.V3(rdp.x[p_ray], rdp.y[p_ray], rdp.z[p_ray])
-        R = _ray_matrix_pairs(pro, prd, 0)
-        t, u, v, det, li = pb.pair_intersect(
-            meta, R, W, eps, SP=SP, pair_block=PB
+        ro_c = v3.V3(rop.x[idx], rop.y[idx], rop.z[idx])
+        rd_c = v3.V3(rdp.x[idx], rdp.y[idx], rdp.z[idx])
+        cc = dict(
+            stack=c["stack"][:, idx],
+            sp=jnp.where(valid, c["sp"][idx], 0),
+            best_t=c["best_t"][idx],
+            best_u=c["best_u"][idx],
+            best_v=c["best_v"][idx],
+            best_det=c["best_det"][idx],
+            best_tri=c["best_tri"][idx],
         )
-        t = jnp.where(p_valid, t, F32_MAX)
-        gtri = p_sl * SP + li
+        cc = _wf_round(scene, W, eps, ro_c, rd_c, cc, S=S, PB=PB)
 
-        # ---- per-ray min reduce (bitcast keys are monotone for t > 0) ----
-        key0 = _u32_key(c["best_t"])
-        bk = key0.at[p_ray].min(_u32_key(t))
-        new_t = jax.lax.bitcast_convert_type(bk, jnp.float32)
-        win = p_valid & (_u32_key(t) == bk[p_ray]) & (t < F32_MAX)
-        bp = (
-            jnp.full(Bp, MAXP, jnp.int32)
-            .at[p_ray]
-            .min(jnp.where(win, arange_p, MAXP))
-        )
-        win2 = win & (arange_p == bp[p_ray])
+        back = jnp.where(valid, idx, Bp)  # invalid slots dropped
+        out = dict(c)
+        out["stack"] = c["stack"].at[:, back].set(cc["stack"], mode="drop")
+        for k in ("sp", "best_t", "best_u", "best_v", "best_det", "best_tri"):
+            out[k] = c[k].at[back].set(cc[k], mode="drop")
+        return out
 
-        def scat(payload, fill, dtype):
-            return (
-                jnp.full(Bp, fill, dtype)
-                .at[p_ray]
-                .max(jnp.where(win2, payload, fill))
-            )
-
-        updated = new_t < c["best_t"]
-        best_u = jnp.where(updated, scat(u, -F32_MAX, jnp.float32), c["best_u"])
-        best_v = jnp.where(updated, scat(v, -F32_MAX, jnp.float32), c["best_v"])
-        best_det = jnp.where(
-            updated, scat(det, -F32_MAX, jnp.float32), c["best_det"]
-        )
-        best_tri = jnp.where(
-            updated, scat(gtri, -(2**30), jnp.int32), c["best_tri"]
-        )
-        return dict(
-            stack=stack,
-            sp=sp,
-            best_t=new_t,
-            best_u=best_u,
-            best_v=best_v,
-            best_det=best_det,
-            best_tri=best_tri,
-        )
-
-    c = jax.lax.while_loop(cond, body, init)
+    c = jax.lax.while_loop(
+        lambda c: jnp.any(c["sp"] > 0), tail_round, c
+    )
     t = c["best_t"][:B]
     return HitInfo(
         hit=t < F32_MAX,
@@ -564,6 +516,103 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
         v=c["best_v"][:B],
         tri=jnp.maximum(c["best_tri"][:B], 0),
         backside=c["best_det"][:B] > 0.0,
+    )
+
+
+def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
+    """One wavefront round over `Bp = rop.x.shape[0]` lanes: top-tree
+    traversal -> pair grouping (argsort by superleaf) -> MXU pair
+    intersection -> per-ray min. `c` carries stack/sp/best_*."""
+
+    from . import pallas_bvh as pb
+
+    Bp = rop.x.shape[0]
+    SP = scene.sl_stride
+    n_sl = scene.sl_count
+    QB = WF_Q * Bp
+    MAXP = QB + min(n_sl, QB) * PB
+    MAXP = -(-MAXP // PB) * PB
+    n_pb = MAXP // PB
+    pair_ray0 = jnp.tile(jnp.arange(Bp, dtype=jnp.int32), WF_Q)
+    arange_p = jnp.arange(MAXP, dtype=jnp.int32)
+
+    sl, cnt, stack, sp = pb.top_traverse(
+        scene.top_tab, rop, rdp, c["best_t"], c["stack"], c["sp"],
+        S=S, Q=WF_Q,
+    )
+    # ---- group pairs by superleaf (q-major flatten; empties last) ----
+    pair_sl = sl.reshape(-1)
+    real = pair_sl >= 0
+    key = jnp.where(real, pair_sl, n_sl)
+    order = jnp.argsort(key)
+    s_sl = key[order]
+    s_ray = pair_ray0[order]
+    s_real = real[order]
+
+    counts = jnp.zeros(n_sl + 1, jnp.int32).at[key].add(1)
+    cnt_sl = counts[:n_sl]
+    padded = -(-cnt_sl // PB) * PB
+    poff = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded)])
+    seg_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_sl)])
+    rank = jnp.arange(QB, dtype=jnp.int32) - seg_start[
+        jnp.minimum(s_sl, n_sl)
+    ]
+    pos = poff[jnp.minimum(s_sl, n_sl - 1)] + rank
+    pos = jnp.where(s_real, pos, MAXP)  # out-of-range -> dropped
+
+    p_ray = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_ray, mode="drop")
+    p_sl = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_sl, mode="drop")
+    p_valid = jnp.zeros(MAXP, bool).at[pos].set(s_real, mode="drop")
+    blk_sl = (
+        jnp.searchsorted(
+            poff[1:], jnp.arange(n_pb, dtype=jnp.int32) * PB, side="right"
+        )
+    ).astype(jnp.int32)
+    blk_sl = jnp.minimum(blk_sl, n_sl - 1)
+    blk_real = p_valid.reshape(n_pb, PB).sum(axis=1).astype(jnp.int32)
+
+    # ---- MXU pair intersection ----
+    pro = v3.V3(rop.x[p_ray], rop.y[p_ray], rop.z[p_ray])
+    prd = v3.V3(rdp.x[p_ray], rdp.y[p_ray], rdp.z[p_ray])
+    R = _ray_matrix_pairs(pro, prd, 0)
+    t, u, v, det, li = pb.pair_intersect(
+        blk_sl, blk_real, R, W, eps, SP=SP, pair_block=PB
+    )
+    t = jnp.where(p_valid, t, F32_MAX)
+    gtri = p_sl * SP + li
+
+    # ---- per-ray min reduce (bitcast keys are monotone for t > 0) ----
+    key0 = _u32_key(c["best_t"])
+    bk = key0.at[p_ray].min(_u32_key(t))
+    new_t = jax.lax.bitcast_convert_type(bk, jnp.float32)
+    win = p_valid & (_u32_key(t) == bk[p_ray]) & (t < F32_MAX)
+    bp = (
+        jnp.full(Bp, MAXP, jnp.int32)
+        .at[p_ray]
+        .min(jnp.where(win, arange_p, MAXP))
+    )
+    win2 = win & (arange_p == bp[p_ray])
+
+    def scat(payload, fill, dtype):
+        return (
+            jnp.full(Bp, fill, dtype)
+            .at[p_ray]
+            .max(jnp.where(win2, payload, fill))
+        )
+
+    updated = new_t < c["best_t"]
+    return dict(
+        stack=stack,
+        sp=sp,
+        best_t=new_t,
+        best_u=jnp.where(updated, scat(u, -F32_MAX, jnp.float32), c["best_u"]),
+        best_v=jnp.where(updated, scat(v, -F32_MAX, jnp.float32), c["best_v"]),
+        best_det=jnp.where(
+            updated, scat(det, -F32_MAX, jnp.float32), c["best_det"]
+        ),
+        best_tri=jnp.where(
+            updated, scat(gtri, -(2**30), jnp.int32), c["best_tri"]
+        ),
     )
 
 

@@ -116,26 +116,28 @@ def _top_kernel(
 
     def body(c):
         stack, sp, cnt, out = c
+        # Mosaic restriction: no sub-32-bit broadcasts/reshapes — every mask
+        # is folded into an i32 comparison (sentinel -1 matches nothing).
         active = (sp > 0) & (cnt < Q)
-        spm1 = jnp.where(active, sp - 1, 0)
+        spm1 = jnp.where(active, sp - 1, -1)
         node = jnp.sum(
-            jnp.where((srow == spm1[None, :]) & active[None, :], stack, 0),
-            axis=0,
+            jnp.where(srow == spm1[None, :], stack, 0), axis=0
         )
         sp = jnp.where(active, spm1, sp)
 
         # Leaf pop: append the superleaf id to the output slots.
         em = active & (node < 0)
         sl = -node - 1
-        out = jnp.where(
-            (qrow == cnt[None, :]) & em[None, :], sl[None, :], out
-        )
+        cnt_slot = jnp.where(em, cnt, -1)
+        out = jnp.where(qrow == cnt_slot[None, :], sl[None, :], out)
         cnt = cnt + em.astype(jnp.int32)
 
         # Internal pop: fetch both children with one exact one-hot matmul.
+        # Inactive lanes get row -1 (matches nothing); Mosaic only supports
+        # 32-bit minor-dim broadcasts, so the mask lives in the i32 compare.
         is_int = active & (node >= 0)
-        row = jnp.where(is_int, node, 0)
-        onehot = ((col == row[:, None]) & is_int[:, None]).astype(jnp.bfloat16)
+        row = jnp.where(is_int, node, -1)
+        onehot = (col == row[:, None]).astype(jnp.bfloat16)
         fetch = jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
 
         tl = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_LMIN, COL_LMAX)
@@ -148,16 +150,16 @@ def _top_kernel(
         left_near = tl <= tr
         near = jnp.where(left_near, lref, rref)
         far = jnp.where(left_near, rref, lref)
-        push_near = jnp.where(left_near, push_l, push_r)
-        push_far = jnp.where(left_near, push_r, push_l)
+        # Mosaic cannot select between two i1 vectors (i8->i1 truncation);
+        # express the bool selects as logical ops instead.
+        push_near = (left_near & push_l) | (~left_near & push_r)
+        push_far = (left_near & push_r) | (~left_near & push_l)
 
-        stack = jnp.where(
-            (srow == sp[None, :]) & push_far[None, :], far[None, :], stack
-        )
+        sp_far = jnp.where(push_far, sp, -1)
+        stack = jnp.where(srow == sp_far[None, :], far[None, :], stack)
         sp = sp + push_far.astype(jnp.int32)
-        stack = jnp.where(
-            (srow == sp[None, :]) & push_near[None, :], near[None, :], stack
-        )
+        sp_near = jnp.where(push_near, sp, -1)
+        stack = jnp.where(srow == sp_near[None, :], near[None, :], stack)
         sp = sp + push_near.astype(jnp.int32)
         return stack, sp, cnt, out
 
@@ -174,7 +176,7 @@ def _top_kernel(
     sp_out_ref[0] = sp.reshape(sp_out_ref.shape[1:])
 
 
-def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=1024):
+def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
     """One round of top-tree traversal.
 
     tab: (rows_pad, TOP_COLS) bf16; ro/rd: V3 over Bp rays (Bp a multiple of
@@ -210,6 +212,9 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=1024):
         + [stack_spec, vec_spec],
         out_specs=(sl_spec, vec_spec, stack_spec, vec_spec),
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=jax.default_backend() != "tpu",
     )(
         tab,
@@ -231,7 +236,7 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=1024):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(meta_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
+def _pair_kernel(sl_ref, cnt_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
                  det_ref, idx_ref, *, TB):
     """Dense closest hit of one pair block against one superleaf's triangle
     block. Identical math to pallas_intersect._kernel; the W block is chosen
@@ -239,7 +244,7 @@ def _pair_kernel(meta_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
     real pairs are skipped."""
 
     i = pl.program_id(0)
-    n_real = meta_ref[i, 1]
+    n_real = cnt_ref[i]
     t_ref[0] = jnp.full(t_ref.shape[1:], F32_MAX)
 
     @pl.when(n_real > 0)
@@ -312,13 +317,14 @@ def _pair_kernel(meta_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
         idx_ref[0] = bidx.reshape(idx_ref.shape[1:])
 
 
-def pair_intersect(meta, R, W4, eps, *, SP, pair_block=256, tri_block=None):
-    """meta: (n_pb, 2) i32 [superleaf id, real pair count] per pair block;
-    R: (Pp, 10) f32 ray features (Pp = n_pb * pair_block); W4: (4, 10,
-    n_sl*SP) padded-soup coefficient matrix. Returns per-pair
+def pair_intersect(blk_sl, blk_cnt, R, W4, eps, *, SP, pair_block=256,
+                   tri_block=None):
+    """blk_sl/blk_cnt: (n_pb,) i32 superleaf id / real pair count per pair
+    block; R: (Pp, 10) f32 ray features (Pp = n_pb * pair_block); W4:
+    (4, 10, n_sl*SP) padded-soup coefficient matrix. Returns per-pair
     (t, u, v, det, local tri idx)."""
 
-    n_pb = meta.shape[0]
+    n_pb = blk_sl.shape[0]
     PB = pair_block
     assert R.shape[0] == n_pb * PB
     TB = tri_block or min(SP, 512)
@@ -330,14 +336,16 @@ def pair_intersect(meta, R, W4, eps, *, SP, pair_block=256, tri_block=None):
         vec(jnp.float32), vec(jnp.float32), vec(jnp.float32),
         vec(jnp.float32), vec(jnp.int32),
     )
-    vec_spec = pl.BlockSpec((1, sub, 128), lambda i, m: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec(
+        (1, sub, 128), lambda i, s, c: (i, 0, 0), memory_space=pltpu.VMEM
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_pb,),
         in_specs=[
-            pl.BlockSpec((1, PB, 10), lambda i, m: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 10, SP), lambda i, m: (0, 0, m[i, 0]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PB, 10), lambda i, s, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 10, SP), lambda i, s, c: (0, 0, s[i]), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(vec_spec,) * 5,
@@ -346,8 +354,12 @@ def pair_intersect(meta, R, W4, eps, *, SP, pair_block=256, tri_block=None):
         functools.partial(_pair_kernel, TB=TB),
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=jax.default_backend() != "tpu",
-    )(meta, R.reshape(n_pb, PB, 10), W4, jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
+    )(blk_sl, blk_cnt, R.reshape(n_pb, PB, 10), W4,
+      jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
     P = n_pb * PB
     return (
         t.reshape(P), u.reshape(P), v.reshape(P), det.reshape(P),
