@@ -236,12 +236,15 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(sl_ref, cnt_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
+def _pair_kernel(sl_ref, cnt_ref, rox_ref, roy_ref, roz_ref, rdx_ref,
+                 rdy_ref, rdz_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
                  det_ref, idx_ref, *, TB):
     """Dense closest hit of one pair block against one superleaf's triangle
     block. Identical math to pallas_intersect._kernel; the W block is chosen
     by the scalar-prefetched superleaf id (index_map), and blocks with no
-    real pairs are skipped."""
+    real pairs are skipped. Ray features R = [d, o x d, o, 1] are built
+    in-kernel from the six gathered components (the (P, 10) matrix would
+    otherwise round-trip HBM)."""
 
     i = pl.program_id(0)
     n_real = cnt_ref[i]
@@ -249,21 +252,32 @@ def _pair_kernel(sl_ref, cnt_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
 
     @pl.when(n_real > 0)
     def _run():
-        R = R_ref[0]  # (PB, 10)
-        PB = R.shape[0]
+        def vec(ref):
+            return ref[0].reshape(-1)
+
+        rox, roy, roz = vec(rox_ref), vec(roy_ref), vec(roz_ref)
+        rdx, rdy, rdz = vec(rdx_ref), vec(rdy_ref), vec(rdz_ref)
+        cx = roy * rdz - roz * rdy
+        cy = roz * rdx - rox * rdz
+        cz = rox * rdy - roy * rdx
+        # (10, PB): stacking 1-D vectors along the MAJOR axis is a no-op
+        # relayout (a (PB, 10) minor-axis stack is an unsupported Mosaic
+        # shape cast), so the whole kernel runs transposed: triangles on
+        # sublanes, pairs on lanes.
+        RT = jnp.stack(
+            [rdx, rdy, rdz, cx, cy, cz, rox, roy, roz,
+             jnp.ones_like(rox)],
+            axis=0,
+        )
+        PB = RT.shape[1]
         SP = W_ref.shape[2]
         eps = eps_ref[0]
         num_blocks = SP // TB
-        lane = jax.lax.broadcasted_iota(jnp.int32, (PB, TB), 1)
+        trow = jax.lax.broadcasted_iota(jnp.int32, (TB, PB), 0)
 
         def body(k, carry):
             bt, bu, bv, bdet, bidx = carry
             off = k * TB
-            dot = functools.partial(
-                jnp.dot,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
             Wblk = jnp.concatenate(
                 [
                     W_ref[0, :, pl.ds(off, TB)],
@@ -272,12 +286,18 @@ def _pair_kernel(sl_ref, cnt_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
                     W_ref[3, :, pl.ds(off, TB)],
                 ],
                 axis=1,
-            )
-            M = dot(R, Wblk)
-            det = M[:, 0:TB]
-            nu = M[:, TB : 2 * TB]
-            nv = M[:, 2 * TB : 3 * TB]
-            nt = M[:, 3 * TB : 4 * TB]
+            )  # (10, 4TB)
+            M = jax.lax.dot_general(
+                Wblk,
+                RT,
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (4TB, PB)
+            det = M[0:TB]
+            nu = M[TB : 2 * TB]
+            nv = M[2 * TB : 3 * TB]
+            nt = M[3 * TB : 4 * TB]
             d = 1.0 / det
             t = nt * d
             u = nu * d
@@ -285,13 +305,15 @@ def _pair_kernel(sl_ref, cnt_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
             valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= eps)
             tt = jnp.where(valid, t, F32_MAX)
 
-            blk_t = jnp.min(tt, axis=1)
-            at_min = tt <= blk_t[:, None]
-            blk_idx = jnp.min(jnp.where(at_min, lane, 2**30), axis=1)
-            onehot = lane == blk_idx[:, None]
+            blk_t = jnp.min(tt, axis=0)  # (PB,)
+            at_min = tt <= blk_t[None, :]
+            blk_idx = jnp.min(
+                jnp.where(at_min, trow, 2**30), axis=0
+            )
+            onehot = trow == blk_idx[None, :]
 
             def pick(x):
-                return jnp.sum(jnp.where(onehot, x, 0.0), axis=1)
+                return jnp.sum(jnp.where(onehot, x, 0.0), axis=0)
 
             upd = blk_t < bt
             return (
@@ -317,16 +339,17 @@ def _pair_kernel(sl_ref, cnt_ref, R_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
         idx_ref[0] = bidx.reshape(idx_ref.shape[1:])
 
 
-def pair_intersect(blk_sl, blk_cnt, R, W4, eps, *, SP, pair_block=256,
+def pair_intersect(blk_sl, blk_cnt, ro, rd, W4, eps, *, SP, pair_block=256,
                    tri_block=None):
     """blk_sl/blk_cnt: (n_pb,) i32 superleaf id / real pair count per pair
-    block; R: (Pp, 10) f32 ray features (Pp = n_pb * pair_block); W4:
-    (4, 10, n_sl*SP) padded-soup coefficient matrix. Returns per-pair
+    block; ro/rd: V3 of per-pair ray components (Pp = n_pb * pair_block);
+    W4: (4, 10, n_sl*SP) padded-soup coefficient matrix. Returns per-pair
     (t, u, v, det, local tri idx)."""
 
     n_pb = blk_sl.shape[0]
     PB = pair_block
-    assert R.shape[0] == n_pb * PB
+    P = n_pb * PB
+    assert ro.x.shape[0] == P
     TB = tri_block or min(SP, 512)
     assert SP % TB == 0
     sub = PB // 128
@@ -343,13 +366,17 @@ def pair_intersect(blk_sl, blk_cnt, R, W4, eps, *, SP, pair_block=256,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_pb,),
-        in_specs=[
-            pl.BlockSpec((1, PB, 10), lambda i, s, c: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[vec_spec] * 6
+        + [
             pl.BlockSpec((4, 10, SP), lambda i, s, c: (0, 0, s[i]), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(vec_spec,) * 5,
     )
+
+    def shape3(x):
+        return x.reshape(n_pb, sub, 128)
+
     t, u, v, det, idx = pl.pallas_call(
         functools.partial(_pair_kernel, TB=TB),
         grid_spec=grid_spec,
@@ -358,9 +385,10 @@ def pair_intersect(blk_sl, blk_cnt, R, W4, eps, *, SP, pair_block=256,
             dimension_semantics=("arbitrary",)
         ),
         interpret=jax.default_backend() != "tpu",
-    )(blk_sl, blk_cnt, R.reshape(n_pb, PB, 10), W4,
-      jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
-    P = n_pb * PB
+    )(blk_sl, blk_cnt,
+      shape3(ro.x), shape3(ro.y), shape3(ro.z),
+      shape3(rd.x), shape3(rd.y), shape3(rd.z),
+      W4, jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
     return (
         t.reshape(P), u.reshape(P), v.reshape(P), det.reshape(P),
         idx.reshape(P),
