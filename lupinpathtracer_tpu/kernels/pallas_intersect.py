@@ -276,7 +276,15 @@ def dense_closest_hit_attrs_pallas(
         A = jnp.pad(A, ((0, tpad), (0, 0)))
     T = T + tpad
     assert A.shape == (T, A.shape[1]), (A.shape, T)
-    RB = min(ray_block, B)
+    # Pad the ray batch UP to a lane multiple before choosing the block
+    # size: RB=min(ray_block, B) with an unaligned B made sub=RB//128
+    # truncate and the output reshape fail (any B%128 != 0 batch, e.g. a
+    # 12x12 smoke frame or a 2230x929 aspect-fit render). The reference
+    # dispatches any ceil(W/4) x ceil(H/4) grid with no alignment
+    # constraint (renderer.rs:835-837); neither do we.
+    assert ray_block % 128 == 0, ray_block
+    B128 = B + ((-B) % 128)
+    RB = min(ray_block, B128)
     pad = (-B) % RB
     Bp = B + pad
     R = _ray_matrix(ro, rd, pad)
@@ -344,7 +352,11 @@ def dense_closest_hit_pallas(W4, ro, rd, eps, ray_block=1024, tri_block=512):
         W4 = jnp.pad(W4, ((0, 0), (0, 0), (0, tpad)))
     T = T + tpad
     assert T % TB == 0, (T, TB)
-    RB = min(ray_block, B)
+    # See dense_closest_hit_attrs_pallas: pad B up to a lane multiple
+    # before choosing RB so sub=RB//128 never truncates.
+    assert ray_block % 128 == 0, ray_block
+    B128 = B + ((-B) % 128)
+    RB = min(ray_block, B128)
     pad = (-B) % RB
     Bp = B + pad
     R = _ray_matrix(ro, rd, pad)

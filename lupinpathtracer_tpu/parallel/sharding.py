@@ -22,8 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..core import rng as rng_mod
 from ..core import vec3 as v3c
@@ -134,7 +134,7 @@ def make_sharded_render_step(
         mesh=mesh,
         in_specs=(scene_spec, img_spec, P(), P(), P(), P(), P()),
         out_specs=img_spec,
-        check_rep=False,
+        check_vma=False,
     )
 
     @partial(jax.jit, donate_argnames=("image",))

@@ -3,18 +3,38 @@
 Mirrors the driver's multi-chip dry-run environment: sharding/collective
 code is validated without TPU hardware. Benchmarks (bench.py) run on the
 real chip outside pytest.
+
+IMPORTANT (round-1 lesson): in this sandbox the JAX_PLATFORMS env var is
+silently re-forced to the axon TPU backend by a site hook, so the env-var
+route does NOT work — `jax.config.update("jax_platforms", "cpu")` does.
+We assert the backend so a regression can never be silent again.
+
+Set LUPIN_TEST_TPU=1 to opt in to running the suite on the real TPU
+backend instead (single device; sharding tests self-skip).
 """
 
 import os
 
-# Force-set: the sandbox exports JAX_PLATFORMS=axon (TPU tunnel); tests
-# must run on the virtual CPU mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_WANT_TPU = os.environ.get("LUPIN_TEST_TPU") == "1"
+
+if not _WANT_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+if not _WANT_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        f"expected cpu backend, got {jax.default_backend()} — the "
+        "jax.config platform forcing regressed (see conftest docstring)"
+    )
+    assert len(jax.devices()) == 8, (
+        f"expected 8 virtual CPU devices, got {len(jax.devices())}"
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
