@@ -31,7 +31,11 @@ def load_texture(path) -> TextureCPU:
         data = np.concatenate([rgb, np.ones_like(rgb[..., :1])], axis=-1)
         return TextureCPU(data=data.astype(np.float32), is_hdr=True)
     if ext == ".exr":
-        raise NotImplementedError("EXR input is not supported in this build")
+        from . import exr as exr_io
+
+        return TextureCPU(
+            data=exr_io.read_exr(path).astype(np.float32), is_hdr=True
+        )
     from PIL import Image
 
     with Image.open(path) as im:
@@ -51,7 +55,10 @@ def save_texture(path, data: np.ndarray, srgb_encode: bool = True) -> None:
         hdr_io.write_hdr(path, data[..., :3])
         return
     if ext == ".exr":
-        raise NotImplementedError("EXR output is not supported in this build")
+        from . import exr as exr_io
+
+        exr_io.write_exr(path, data)
+        return
     from PIL import Image
 
     rgb = np.clip(data[..., :3], 0.0, 1.0)

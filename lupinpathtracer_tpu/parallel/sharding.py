@@ -50,23 +50,11 @@ def _trace_block(
     ctx = integrators.make_ctx(scene, ray_epsilon)
     resolution = (jnp.float32(W), jnp.float32(H))
 
-    def one_sample(s, acc):
-        state = rng_mod.init_state(
-            pixel_idx, accum_counter, rng_seed, s + sample_offset
-        )
-        state, ox = rng_mod.next_f32(state)
-        state, oy = rng_mod.next_f32(state)
-        state, ro, rd = compute_camera_ray(
-            cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
-            cam["focus"], cam["aperture"], is_ortho, gx, gy, resolution,
-            ox - 0.5, oy - 0.5, state,
-        )
-        radiance, state, _, _ = integrators.pathtrace(
-            scene, ctx, ro, rd, state, ptype, max_bounces
-        )
-        return acc + integrators.clamp_radiance(radiance, max_radiance)
-
-    acc = jax.lax.fori_loop(0, spp, one_sample, v3c.zeros(gx.shape[0]))
+    acc, _ = integrators.pathtrace_spp(
+        scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
+        accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+        sample_offset=sample_offset,
+    )
     return v3c.to_rows(acc / float(spp))
 
 

@@ -212,6 +212,58 @@ def pathtrace(scene, ctx, ro, rd, state, ptype: int, max_bounces: int):
     return _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces)
 
 
+def _camera_ray_from(regen, state):
+    """Fresh camera ray for a lane's next sample (the regen respawn)."""
+
+    from .camera import compute_camera_ray
+
+    state, ox = rng_mod.next_f32(state)
+    state, oy = rng_mod.next_f32(state)
+    cam = regen["cam"]
+    return compute_camera_ray(
+        cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
+        cam["focus"], cam["aperture"], regen["is_ortho"], regen["gx"],
+        regen["gy"], regen["resolution"], ox - 0.5, oy - 0.5, state,
+    )
+
+
+def pathtrace_spp(
+    scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho: bool,
+    accum_counter, rng_seed, spp: int, ptype: int, max_bounces: int,
+    max_radiance, sample_offset=0,
+):
+    """All spp samples of a pixel batch as ONE wavefront with path
+    regeneration: a lane that finishes sample s (miss / absorption / RR /
+    bounce cap) immediately respawns sample s+1 of ITS OWN pixel in place —
+    the camera ray, RNG re-seed, and throughput reset are masked lane math,
+    so occupancy stays near 100% instead of decaying with the survival
+    curve. This is what SIMT gives the reference's per-thread spp loop
+    (pathtracer.wgsl:234-271) for free; on a lockstep VPU it has to be
+    explicit. Per-sample RNG streams and accumulation order are identical
+    to the sequential per-sample loop, so results match bit-for-bit on
+    opaque scenes.
+
+    Returns (acc V3 = sum over spp of clamp_radiance(sample), n_traced).
+    """
+
+    regen = dict(
+        gx=gx, gy=gy, resolution=resolution, cam=cam, is_ortho=is_ortho,
+        pixel_idx=pixel_idx, accum_counter=accum_counter, rng_seed=rng_seed,
+        spp=spp, max_radiance=max_radiance, sample_offset=sample_offset,
+    )
+    state = rng_mod.init_state(pixel_idx, accum_counter, rng_seed, sample_offset)
+    state, ro, rd = _camera_ray_from(regen, state)
+    if ptype == PathtraceType.MIS:
+        acc, n_traced = _pathtrace_mis(
+            scene, ctx, ro, rd, state, max_bounces, regen=regen
+        )
+    else:
+        acc, n_traced = _pathtrace_snd(
+            scene, ctx, ro, rd, state, ptype, max_bounces, regen=regen
+        )
+    return acc, n_traced
+
+
 def _transmit(scene, c, alive, hit, weight, tr1, tr2):
     """Volume transmittance entry (pathtracer.wgsl:611-620)."""
 
@@ -229,8 +281,50 @@ def _transmit(scene, c, alive, hit, weight, tr1, tr2):
     return vdst, in_volume, weight
 
 
-def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
-    """Shared loop for STANDARD / NAIVE / DIRECT."""
+def _respawn(
+    regen, c, max_bounces, alive, ro, rd, state, weight, radiance,
+    next_emission, vol_len,
+):
+    """End-of-iteration path regeneration (see pathtrace_spp): finished
+    lanes bank their sample and restart as the next sample of their own
+    pixel. Returns the updated carry fields."""
+
+    B = ro.x.shape[0]
+    entry_alive = c["alive"]
+    bounce_next = c["bounce"] + 1
+    done = entry_alive & (~alive | (bounce_next > max_bounces))
+    acc = c["acc"] + v3.where(
+        done, clamp_radiance(radiance, regen["max_radiance"]), v3.zeros(B)
+    )
+    sample_idx = c["sample_idx"] + done.astype(jnp.int32)
+    spawn = done & (sample_idx < regen["spp"])
+
+    st_new = rng_mod.init_state(
+        regen["pixel_idx"], regen["accum_counter"], regen["rng_seed"],
+        sample_idx + regen["sample_offset"],
+    )
+    st_new, ro_n, rd_n = _camera_ray_from(regen, st_new)
+
+    return dict(
+        bounce=jnp.where(spawn, 0, bounce_next),
+        sample_idx=sample_idx,
+        acc=acc,
+        alive=(alive & ~done) | spawn,
+        state=jnp.where(spawn, st_new, state),
+        ro=v3.where(spawn, ro_n, ro),
+        rd=v3.where(spawn, rd_n, rd),
+        weight=v3.where(spawn, v3.full(B, 1.0), weight),
+        radiance=v3.where(spawn, v3.zeros(B), radiance),
+        next_emission=jnp.where(spawn, True, next_emission),
+        vol_len=jnp.where(spawn, 0, vol_len),
+    )
+
+
+def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
+    """Shared loop for STANDARD / NAIVE / DIRECT.
+
+    With `regen` (see pathtrace_spp) the bounce counter is per-lane and
+    finished lanes respawn their pixel's next sample in place."""
 
     B = ro.x.shape[0]
     is_direct = ptype == PathtraceType.DIRECT
@@ -239,13 +333,14 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
     # each bounce so the dense intersector only pays for the live prefix.
     do_compact = (
         ENABLE_COMPACTION
+        and regen is None
         and (not scene.use_bvh)
         and (not scene.instances_empty)
         and B >= 4096
     )
 
     init = dict(
-        bounce=jnp.int32(0),
+        bounce=jnp.int32(0) if regen is None else jnp.zeros(B, jnp.int32),
         ro=ro,
         rd=rd,
         state=state,
@@ -261,8 +356,13 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
         n_bounces=jnp.zeros(B, jnp.int32),
         n_traced=jnp.zeros(B, jnp.int32),
     )
+    if regen is not None:
+        init["sample_idx"] = jnp.zeros(B, jnp.int32)
+        init["acc"] = v3.zeros(B)
 
     def cond(c):
+        if regen is not None:
+            return jnp.any(c["alive"])
         return jnp.any(c["alive"]) & (c["bounce"] <= max_bounces)
 
     def body(c):
@@ -416,7 +516,7 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             weight,
         )
 
-        return dict(
+        out = dict(
             bounce=c["bounce"] + 1,
             ro=ro,
             rd=rd,
@@ -433,8 +533,18 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces):
             n_bounces=n_bounces,
             n_traced=n_traced,
         )
+        if regen is not None:
+            out.update(
+                _respawn(
+                    regen, c, max_bounces, alive, ro, rd, state, weight,
+                    radiance, next_emission, vol_len,
+                )
+            )
+        return out
 
     c = jax.lax.while_loop(cond, body, init)
+    if regen is not None:
+        return c["acc"], c["n_traced"]
     return _unscramble(c, B, do_compact)
 
 
@@ -456,7 +566,7 @@ def _unscramble(c, B, compacted):
     return out_rad, st, nb, nt
 
 
-def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
+def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
     """Classic 2-strategy MIS (pathtracer.wgsl:737-933). Each non-delta
     bounce traces two strategy rays (plain closest-hit, no alpha skip —
     matching the reference's use of ray_scene_intersection there)."""
@@ -464,13 +574,14 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
     B = ro.x.shape[0]
     do_compact = (
         ENABLE_COMPACTION
+        and regen is None
         and (not scene.use_bvh)
         and (not scene.instances_empty)
         and B >= 4096
     )
 
     init = dict(
-        bounce=jnp.int32(0),
+        bounce=jnp.int32(0) if regen is None else jnp.zeros(B, jnp.int32),
         ro=ro,
         rd=rd,
         state=state,
@@ -486,8 +597,13 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
         n_bounces=jnp.zeros(B, jnp.int32),
         n_traced=jnp.zeros(B, jnp.int32),
     )
+    if regen is not None:
+        init["sample_idx"] = jnp.zeros(B, jnp.int32)
+        init["acc"] = v3.zeros(B)
 
     def cond(c):
+        if regen is not None:
+            return jnp.any(c["alive"])
         return jnp.any(c["alive"]) & (c["bounce"] <= max_bounces)
 
     def body(c):
@@ -648,7 +764,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
             weight,
         )
 
-        return dict(
+        out = dict(
             bounce=c["bounce"] + 1,
             ro=ro,
             rd=rd,
@@ -665,8 +781,18 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces):
             n_bounces=n_bounces,
             n_traced=n_traced,
         )
+        if regen is not None:
+            out.update(
+                _respawn(
+                    regen, c, max_bounces, alive, ro, rd, state, weight,
+                    radiance, next_emission, vol_len,
+                )
+            )
+        return out
 
     c = jax.lax.while_loop(cond, body, init)
+    if regen is not None:
+        return c["acc"], c["n_traced"]
     return _unscramble(c, B, do_compact)
 
 

@@ -136,31 +136,13 @@ def _render_pathtrace(
     resolution = (jnp.float32(W), jnp.float32(H))
     ctx = integrators.make_ctx(scene, ray_epsilon)
 
-    def one_sample(s, acc):
-        state = rng_mod.init_state(pixel_idx, accum_counter, rng_seed, s)
-        state, ox = rng_mod.next_f32(state)
-        state, oy = rng_mod.next_f32(state)
-        state, ro, rd = compute_camera_ray(
-            cam["cam_transform"],
-            cam["lens"],
-            cam["film"],
-            cam["aspect"],
-            cam["focus"],
-            cam["aperture"],
-            is_ortho,
-            gx,
-            gy,
-            resolution,
-            ox - 0.5,
-            oy - 0.5,
-            state,
-        )
-        radiance, state, _, _ = integrators.pathtrace(
-            scene, ctx, ro, rd, state, ptype, max_bounces
-        )
-        return acc + integrators.clamp_radiance(radiance, max_radiance)
-
-    acc = jax.lax.fori_loop(0, spp, one_sample, v3.zeros(tw * th))
+    # All spp in ONE wavefront with in-place path regeneration (see
+    # integrators.pathtrace_spp) — same per-sample streams and sums as the
+    # reference's serial spp loop (pathtracer.wgsl:234-271), ~full occupancy.
+    acc, _ = integrators.pathtrace_spp(
+        scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
+        accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+    )
     color = v3.to_rows(acc / float(spp))
     full = (tw, th) == (W, H)
     return _accumulate_and_store(
