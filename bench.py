@@ -36,8 +36,11 @@ def main():
     from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
 
     W = H = 512
-    SPP_PER_ACCUM = 8
-    ACCUMS = 8  # 64 accumulated spp total
+    # All 64 spp in ONE dispatch: the fused megakernel regenerates paths
+    # in place, so a longer spp run amortizes the per-block tail (~0.45 s,
+    # safely under the TPU watchdog).
+    SPP_PER_ACCUM = 64
+    ACCUMS = 1
     BOUNCES = 8
 
     scene, cams = builtin.build_scene_cornell_box()
@@ -85,15 +88,20 @@ def main():
     image = renderer.pathtrace_scene(tpu, image, desc, baked)  # warm-up/compile
     _ = float(jnp.sum(image))  # force: block_until_ready is unreliable on axon
 
+    REPS = 3  # repeat the full workload to amortize dispatch latency
     t0 = time.time()
-    for i in range(1, ACCUMS + 1):
-        desc.accum_params.counter = i
-        image = renderer.pathtrace_scene(tpu, image, desc, baked)
-    _ = float(jnp.sum(image))  # force: block_until_ready is unreliable on axon
+    for r in range(REPS):
+        for i in range(1, ACCUMS + 1):
+            desc.accum_params.counter = i
+            image = renderer.pathtrace_scene(tpu, image, desc, baked)
+    # One sync at the end (~1 s of queued dispatches stays under the
+    # watchdog); block_until_ready is unreliable on axon.
+    _ = float(jnp.sum(image))
     dt = time.time() - t0
-    print(f"# dt={dt:.3f}s for {ACCUMS} accums x {SPP_PER_ACCUM} spp", file=sys.stderr)
+    print(f"# dt={dt:.3f}s for {REPS} reps x {ACCUMS} accums x "
+          f"{SPP_PER_ACCUM} spp", file=sys.stderr)
 
-    total_rays = rays_per_spp * SPP_PER_ACCUM * ACCUMS
+    total_rays = rays_per_spp * SPP_PER_ACCUM * ACCUMS * REPS
     mrays = total_rays / dt / 1e6
     assert bool(np.isfinite(np.asarray(image)).all())
 

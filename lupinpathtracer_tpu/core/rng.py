@@ -13,24 +13,65 @@ and therefore converged renders — agree with the WGPU implementation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PCG_MULT = jnp.uint32(747796405)
-_PCG_INC = jnp.uint32(2891336453)
-_U32_MAX_F = jnp.float32(4294967295.0)
+# numpy scalars, NOT jnp: module-level jnp arrays would be captured as
+# pallas kernel constants (pallas_call rejects them); np scalars embed as
+# immediates.
+_PCG_MULT = np.uint32(747796405)
+_PCG_INC = np.uint32(2891336453)
+_U32_MAX_F = np.float32(4294967295.0)
 
 PI = 3.14159265358979323846264338327950288
 
 
+def as_u32(x):
+    """Signed->unsigned reinterpret that lowers inside Pallas kernels.
+    Mosaic rejects convert_element_type between i32/u32 and u32<->f32; a
+    same-width bitcast is always available and value-identical for the
+    wrap-around semantics the PCG math needs."""
+
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint32:
+        return x
+    if x.dtype == jnp.int32 and x.ndim >= 1:
+        # Mosaic's tpu.bitcast only accepts vectors; scalar converts lower
+        # fine through the scalar unit.
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return x.astype(jnp.uint32)
+
+
+def as_i32(x):
+    """Unsigned->signed reinterpret (kernel-safe, see as_u32)."""
+
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint32 and x.ndim >= 1:
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return x.astype(jnp.int32)
+
+
+def u32_to_f32(word):
+    """Exact-enough u32 -> f32 (Mosaic has no unsigned->float cast):
+    reinterpret as i32, convert, and add 2^32 back for the negative half.
+    At most 1 ulp-of-2^32 from a direct conversion — used by BOTH the jnp
+    and Pallas paths so their streams stay bit-identical."""
+
+    w_i = jax.lax.bitcast_convert_type(word, jnp.int32)
+    f = w_i.astype(jnp.float32)
+    return jnp.where(w_i < 0, f + 4294967296.0, f)
+
+
 def hash_u32(x):
     """Integer finalizer hash (pathtracer.wgsl:1573-1585)."""
-    x = jnp.asarray(x, jnp.uint32)
+    x = as_u32(x)
     x = x ^ (x >> 17)
-    x = x * jnp.uint32(0xED5AD4BB)
+    x = x * np.uint32(0xED5AD4BB)
     x = x ^ (x >> 11)
-    x = x * jnp.uint32(0xAC4C1B51)
+    x = x * np.uint32(0xAC4C1B51)
     x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x31848BAB)
+    x = x * np.uint32(0x31848BAB)
     x = x ^ (x >> 14)
     return x
 
@@ -43,15 +84,15 @@ def init_state(pixel_idx, accum_counter, seed, sample_idx=0):
     each (pixel, sample) pair is an independent stream — required because
     samples run as one batched wavefront rather than a serial loop.
     """
-    pixel_idx = jnp.asarray(pixel_idx, jnp.uint32)
-    accum = jnp.asarray(accum_counter, jnp.uint32)
-    seed = jnp.asarray(seed, jnp.uint32)
-    sample = jnp.asarray(sample_idx, jnp.uint32)
+    pixel_idx = as_u32(pixel_idx)
+    accum = as_u32(accum_counter)
+    seed = as_u32(seed)
+    sample = as_u32(sample_idx)
     mixed = (
-        (pixel_idx * jnp.uint32(19349663))
-        ^ (accum * jnp.uint32(83492791))
-        ^ (seed * jnp.uint32(73856093))
-        ^ (sample * jnp.uint32(2654435769))
+        (pixel_idx * np.uint32(19349663))
+        ^ (accum * np.uint32(83492791))
+        ^ (seed * np.uint32(73856093))
+        ^ (sample * np.uint32(2654435769))
     )
     return hash_u32(mixed)
 
@@ -59,7 +100,7 @@ def init_state(pixel_idx, accum_counter, seed, sample_idx=0):
 def next_u32(state):
     """One PCG step -> (state, uint32) (pathtracer.wgsl:1589-1595)."""
     state = state * _PCG_MULT + _PCG_INC
-    word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
+    word = ((state >> ((state >> 28) + np.uint32(4))) ^ state) * np.uint32(277803737)
     word = (word >> 22) ^ word
     return state, word
 
@@ -67,7 +108,7 @@ def next_u32(state):
 def next_f32(state):
     """Uniform in [0, 1) (pathtracer.wgsl:1598-1604)."""
     state, word = next_u32(state)
-    return state, word.astype(jnp.float32) / _U32_MAX_F
+    return state, u32_to_f32(word) / _U32_MAX_F
 
 
 def next_vec2(state):
@@ -80,11 +121,16 @@ def next_vec2(state):
 def next_u32_range(state, max_exclusive):
     """Uniform integer in [0, max) — max must be > 0 (pathtracer.wgsl:1607-1610)."""
     state, r = next_f32(state)
-    max_f = jnp.asarray(max_exclusive).astype(jnp.float32)
-    idx = jnp.minimum(
-        (r * max_f).astype(jnp.uint32),
-        jnp.asarray(max_exclusive, jnp.uint32) - jnp.uint32(1),
-    )
+    if isinstance(max_exclusive, (int, np.integer)):
+        # Static bound: np immediates (kernel-safe, no jaxpr constants).
+        max_f = np.float32(max_exclusive)
+        cap = np.int32(max_exclusive - 1)
+    else:
+        max_f = jnp.asarray(max_exclusive).astype(jnp.float32)
+        cap = as_i32(max_exclusive) - np.int32(1)
+    # f32 -> i32 -> reinterpret u32: Mosaic has no f32 -> u32 cast; the
+    # value always fits in i32 (r < 1, so idx < max <= 2^31).
+    idx = as_u32(jnp.minimum((r * max_f).astype(jnp.int32), cap))
     return state, idx
 
 

@@ -32,7 +32,9 @@ from flax import struct
 from ..core import vec3 as v3
 from ..core.vec3 import V3
 
-F32_MAX = jnp.float32(3.4028235e38)
+# Python literal, not jnp scalar: module-level jnp arrays get captured as
+# pallas kernel constants (see pallas_intersect.py note).
+F32_MAX = 3.4028235e38
 
 
 @struct.dataclass

@@ -138,11 +138,22 @@ def _render_pathtrace(
 
     # All spp in ONE wavefront with in-place path regeneration (see
     # integrators.pathtrace_spp) — same per-sample streams and sums as the
-    # reference's serial spp loop (pathtracer.wgsl:234-271), ~full occupancy.
-    acc, _ = integrators.pathtrace_spp(
-        scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
-        accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
-    )
+    # reference's serial spp loop (pathtracer.wgsl:234-271). Scenes whose
+    # tables fit in VMEM take the fused megakernel (kernels/pallas_mega.py):
+    # the whole loop runs on-chip, zero per-bounce HBM traffic.
+    from ..kernels import pallas_mega
+
+    if pallas_mega.applicable(scene, ptype) and intersect._use_pallas():
+        acc, _ = pallas_mega.mega_pathtrace_spp(
+            scene, ctx["W"], pixel_idx, gx, gy, resolution, cam, is_ortho,
+            accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+            ray_epsilon,
+        )
+    else:
+        acc, _ = integrators.pathtrace_spp(
+            scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
+            accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+        )
     color = v3.to_rows(acc / float(spp))
     full = (tw, th) == (W, H)
     return _accumulate_and_store(
