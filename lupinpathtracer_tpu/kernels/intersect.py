@@ -397,12 +397,6 @@ WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
 
 
-def _u32_key(t):
-    """Monotone sort key for positive f32 (t >= eps or F32_MAX)."""
-
-    return jax.lax.bitcast_convert_type(t, jnp.uint32)
-
-
 def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
     """TPU wavefront replacement for the masked-stack walk: rounds of
     {top-tree traversal -> MXU pair intersection -> per-ray min} until all
@@ -426,13 +420,10 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
     rop = V3(padv(ro.x), padv(ro.y), padv(ro.z))
     rdp = V3(padv(rd.x), padv(rd.y, 1.0), padv(rd.z))
     PB = WF_PAIR_BLOCK
-    QB = WF_Q * Bp
-    MAXP = QB + min(n_sl, QB) * PB
-    MAXP = -(-MAXP // PB) * PB
-    n_pb = MAXP // PB
 
     if scene.top_root_is_leaf:
-        # Single superleaf: every ray tests block 0; one round, no sort.
+        # Single superleaf: every ray tests superleaf 0; one work item per
+        # ray block, no sort.
         n_blk = -(-Bp // PB)
         ppad = n_blk * PB - Bp
 
@@ -441,8 +432,10 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
 
         pro = V3(padp(rop.x), padp(rop.y), padp(rop.z))
         prd = V3(padp(rdp.x), padp(rdp.y, 1.0), padp(rdp.z))
+        blk = jnp.arange(n_blk, dtype=jnp.int32)
         t, u, v, det, li = pb.pair_intersect(
-            jnp.zeros(n_blk, jnp.int32), jnp.full(n_blk, PB, jnp.int32),
+            blk, jnp.zeros(n_blk, jnp.int32),
+            blk * PB, blk * PB + PB,
             pro, prd, W, eps, SP=SP, pair_block=PB,
         )
         t, u, v, det, li = (a[:B] for a in (t, u, v, det, li))
@@ -528,8 +521,16 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
 
 def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     """One wavefront round over `Bp = rop.x.shape[0]` lanes: top-tree
-    traversal -> pair grouping (argsort by superleaf) -> MXU pair
-    intersection -> per-ray min. `c` carries stack/sp/best_*."""
+    traversal -> pair grouping -> MXU pair intersection -> per-ray min.
+    `c` carries stack/sp/best_*.
+
+    Data-movement design (XLA 1-D gathers/scatters run at only ~90M
+    elem/s on TPU while variadic sorts are flat in operand count): the ray
+    components ride the grouping sort as payload operands, pair blocks are
+    contiguous 128-aligned slices of the sorted order (segment boundaries
+    are masked in-kernel via [lo, hi) work items instead of padding each
+    segment), and results return to ray-slot order via a second variadic
+    sort keyed on the original slot index. Zero large gathers per round."""
 
     from . import pallas_bvh as pb
 
@@ -537,99 +538,95 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     SP = scene.sl_stride
     n_sl = scene.sl_count
     QB = WF_Q * Bp
-    MAXP = QB + min(n_sl, QB) * PB
-    MAXP = -(-MAXP // PB) * PB
-    n_pb = MAXP // PB
-    pair_ray0 = jnp.tile(jnp.arange(Bp, dtype=jnp.int32), WF_Q)
-    arange_p = jnp.arange(MAXP, dtype=jnp.int32)
+    n_pb = QB // PB
 
     sl, cnt, stack, sp = pb.top_traverse(
         scene.top_tab, rop, rdp, c["best_t"], c["stack"], c["sp"],
         S=S, Q=WF_Q,
     )
-    # ---- group pairs by superleaf (q-major flatten; empties last) ----
-    pair_sl = sl.reshape(-1)
-    real = pair_sl >= 0
-    key = jnp.where(real, pair_sl, n_sl)
-    idx_bits = max(QB - 1, 1).bit_length()
-    if (n_sl + 1).bit_length() + idx_bits <= 32:
-        # Single-array sort: pack (key, index) into one u32 — measurably
-        # faster than argsort's two-operand sort at ~1M elements.
-        packed = (
-            key.astype(jnp.uint32) << idx_bits
-        ) | jnp.arange(QB, dtype=jnp.uint32)
-        packed = jax.lax.sort(packed)
-        order = (packed & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-        s_sl = (packed >> idx_bits).astype(jnp.int32)
-    else:
-        order = jnp.argsort(key)
-        s_sl = key[order]
-    s_ray = pair_ray0[order]
-    s_real = real[order]
-
-    counts = jnp.zeros(n_sl + 1, jnp.int32).at[key].add(1)
-    cnt_sl = counts[:n_sl]
-    padded = -(-cnt_sl // PB) * PB
-    poff = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded)])
-    seg_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_sl)])
-    rank = jnp.arange(QB, dtype=jnp.int32) - seg_start[
-        jnp.minimum(s_sl, n_sl)
-    ]
-    pos = poff[jnp.minimum(s_sl, n_sl - 1)] + rank
-    pos = jnp.where(s_real, pos, MAXP)  # out-of-range -> dropped
-
-    p_ray = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_ray, mode="drop")
-    p_sl = jnp.zeros(MAXP, jnp.int32).at[pos].set(s_sl, mode="drop")
-    p_valid = jnp.zeros(MAXP, bool).at[pos].set(s_real, mode="drop")
-    blk_sl = (
-        jnp.searchsorted(
-            poff[1:], jnp.arange(n_pb, dtype=jnp.int32) * PB, side="right"
-        )
-    ).astype(jnp.int32)
-    blk_sl = jnp.minimum(blk_sl, n_sl - 1)
-    blk_real = p_valid.reshape(n_pb, PB).sum(axis=1).astype(jnp.int32)
-
-    # ---- MXU pair intersection ----
-    pro = v3.V3(rop.x[p_ray], rop.y[p_ray], rop.z[p_ray])
-    prd = v3.V3(rdp.x[p_ray], rdp.y[p_ray], rdp.z[p_ray])
-    t, u, v, det, li = pb.pair_intersect(
-        blk_sl, blk_real, pro, prd, W, eps, SP=SP, pair_block=PB
+    # ---- group by superleaf: one sort carrying the rays (empties last) ----
+    pair_sl = sl.reshape(-1)  # (QB,) q-major: slot q*Bp + r holds ray r
+    key = jnp.where(pair_sl >= 0, pair_sl, n_sl).astype(jnp.int32)
+    sidx = jnp.arange(QB, dtype=jnp.int32)
+    skey, s_sidx, srox, sroy, sroz, srdx, srdy, srdz = jax.lax.sort(
+        (key, sidx,
+         jnp.tile(rop.x, WF_Q), jnp.tile(rop.y, WF_Q), jnp.tile(rop.z, WF_Q),
+         jnp.tile(rdp.x, WF_Q), jnp.tile(rdp.y, WF_Q), jnp.tile(rdp.z, WF_Q)),
+        num_keys=1,
     )
-    t = jnp.where(p_valid, t, F32_MAX)
-    gtri = p_sl * SP + li
 
-    # ---- per-ray min reduce (bitcast keys are monotone for t > 0) ----
-    key0 = _u32_key(c["best_t"])
-    bk = key0.at[p_ray].min(_u32_key(t))
-    new_t = jax.lax.bitcast_convert_type(bk, jnp.float32)
-    win = p_valid & (_u32_key(t) == bk[p_ray]) & (t < F32_MAX)
-    bp = (
-        jnp.full(Bp, MAXP, jnp.int32)
-        .at[p_ray]
-        .min(jnp.where(win, arange_p, MAXP))
+    # Segment table from the sorted keys: seg_start[s] = first sorted
+    # position with key >= s (a searchsorted of n_sl+1 queries replaces a
+    # QB-element histogram scatter).
+    qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(skey, qs, side="left").astype(jnp.int32)
+    cnt_sl = seg_start[1:] - seg_start[:-1]  # (n_sl,)
+    n_real = seg_start[n_sl]
+
+    # ---- work items: (ray block, superleaf, sorted-position range) ----
+    # Superleaf s covers sorted positions [seg_start[s], seg_start[s+1]) =
+    # blocks first_blk..last_blk; boundary blocks get one item per segment.
+    first_blk = seg_start[:n_sl] // PB
+    last_blk = jnp.maximum(seg_start[1:] - 1, seg_start[:n_sl]) // PB
+    n_items_s = jnp.where(cnt_sl > 0, last_blk - first_blk + 1, 0)
+    ioff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_items_s)]
     )
-    win2 = win & (arange_p == bp[p_ray])
+    total_items = ioff[n_sl]
+    W_CAP = n_pb + min(n_sl, QB)
+    karr = jnp.arange(W_CAP, dtype=jnp.int32)
+    s_k = jnp.searchsorted(ioff[1:], karr, side="right").astype(jnp.int32)
+    s_k = jnp.minimum(s_k, n_sl - 1)
+    valid_k = karr < total_items
+    blk_k = first_blk[s_k] + (karr - ioff[s_k])
+    # Invalid tail items repeat the last valid block/superleaf (blk_k is
+    # nondecreasing, so cummax fills forward) — the kernel skips them via
+    # lo == hi, and repeating the ids keeps the resident blocks unchanged
+    # so the final write-back is idempotent.
+    blk_k = jnp.maximum(
+        jax.lax.cummax(jnp.where(valid_k, blk_k, -1)), 0
+    )
+    sl_k = jnp.maximum(jax.lax.cummax(jnp.where(valid_k, s_k, -1)), 0)
+    lo_k = jnp.where(valid_k, seg_start[s_k], 0)
+    hi_k = jnp.where(valid_k, seg_start[s_k + 1], 0)
 
-    def scat(payload, fill, dtype):
-        return (
-            jnp.full(Bp, fill, dtype)
-            .at[p_ray]
-            .max(jnp.where(win2, payload, fill))
-        )
+    # ---- MXU pair intersection over sorted, aligned ray blocks ----
+    t, u, v, det, gtri = pb.pair_intersect(
+        blk_k, sl_k, lo_k, hi_k,
+        v3.V3(srox, sroy, sroz), v3.V3(srdx, srdy, srdz),
+        W, eps, SP=SP, pair_block=PB,
+    )
+    t = jnp.where(jnp.arange(QB, dtype=jnp.int32) < n_real, t, F32_MAX)
 
-    updated = new_t < c["best_t"]
+    # ---- back to (Q, Bp) ray slots: un-sort by original slot index ----
+    _, t_s, u_s, v_s, det_s, tri_s = jax.lax.sort(
+        (s_sidx, t, u, v, det, gtri), num_keys=1
+    )
+    t_q = t_s.reshape(WF_Q, Bp)
+    u_q = u_s.reshape(WF_Q, Bp)
+    v_q = v_s.reshape(WF_Q, Bp)
+    det_q = det_s.reshape(WF_Q, Bp)
+    tri_q = tri_s.reshape(WF_Q, Bp)
+
+    # ---- per-ray min: Q+1 row compares, no scatters. Strict < keeps the
+    # incumbent on ties (matches bvh_custom.wgsl:262 `dst < min_dst`).
+    acc_t = c["best_t"]
+    bu, bv, bdet, btri = c["best_u"], c["best_v"], c["best_det"], c["best_tri"]
+    for q in range(WF_Q):
+        wn = t_q[q] < acc_t
+        acc_t = jnp.where(wn, t_q[q], acc_t)
+        bu = jnp.where(wn, u_q[q], bu)
+        bv = jnp.where(wn, v_q[q], bv)
+        bdet = jnp.where(wn, det_q[q], bdet)
+        btri = jnp.where(wn, tri_q[q], btri)
     return dict(
         stack=stack,
         sp=sp,
-        best_t=new_t,
-        best_u=jnp.where(updated, scat(u, -F32_MAX, jnp.float32), c["best_u"]),
-        best_v=jnp.where(updated, scat(v, -F32_MAX, jnp.float32), c["best_v"]),
-        best_det=jnp.where(
-            updated, scat(det, -F32_MAX, jnp.float32), c["best_det"]
-        ),
-        best_tri=jnp.where(
-            updated, scat(gtri, -(2**30), jnp.int32), c["best_tri"]
-        ),
+        best_t=acc_t,
+        best_u=bu,
+        best_v=bv,
+        best_det=bdet,
+        best_tri=btri,
     )
 
 

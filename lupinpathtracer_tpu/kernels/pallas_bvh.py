@@ -58,11 +58,11 @@ F32_MAX = 3.4028235e38
 
 
 def _slab(rox, roy, roz, idx, idy, idz, fetch, lo_sl, hi_sl):
-    """Ray/AABB slab test against fetched (RB, 18) rows; F32_MAX on miss
-    (pathtracer.wgsl:2906-2918)."""
+    """Ray/AABB slab test against fetched (TOP_COLS, RB) rows; F32_MAX on
+    miss (pathtracer.wgsl:2906-2918)."""
 
-    lox, loy, loz = fetch[:, lo_sl.start], fetch[:, lo_sl.start + 1], fetch[:, lo_sl.start + 2]
-    hix, hiy, hiz = fetch[:, hi_sl.start], fetch[:, hi_sl.start + 1], fetch[:, hi_sl.start + 2]
+    lox, loy, loz = fetch[lo_sl.start], fetch[lo_sl.start + 1], fetch[lo_sl.start + 2]
+    hix, hiy, hiz = fetch[hi_sl.start], fetch[hi_sl.start + 1], fetch[hi_sl.start + 2]
     tx1 = (lox - rox) * idx
     tx2 = (hix - rox) * idx
     ty1 = (loy - roy) * idy
@@ -79,8 +79,8 @@ def _decode_ref(fetch, leaf_c, hi_c, lo_c):
     """Child reference: >=0 internal row index, <0 encoded superleaf
     (-(sl+1)). hi/lo factors are bf16-exact (<= 256 each)."""
 
-    rid = (fetch[:, hi_c] * 256.0 + fetch[:, lo_c]).astype(jnp.int32)
-    is_leaf = fetch[:, leaf_c] > 0.5
+    rid = (fetch[hi_c] * 256.0 + fetch[lo_c]).astype(jnp.int32)
+    is_leaf = fetch[leaf_c] > 0.5
     return jnp.where(is_leaf, -rid - 1, rid)
 
 
@@ -103,12 +103,15 @@ def _top_kernel(
     idy = 1.0 / rdy
     idz = 1.0 / rdz
     RB = rox.shape[0]
-    ROWS = tab_ref.shape[0]
-    tab = tab_ref[...]  # (ROWS, TOP_COLS) bf16
+    ROWS = tab_ref.shape[1]
+    tab = tab_ref[...]  # (TOP_COLS, ROWS) bf16 — transposed so the fetch
+    # matmul is (18, ROWS) @ (ROWS, RB): rays ride the 128 lanes and the
+    # MXU contracts over rows (the untransposed (RB, ROWS) @ (ROWS, 18)
+    # form wastes 86% of the array on the 18-wide output).
 
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, RB), 0)
     qrow = jax.lax.broadcasted_iota(jnp.int32, (Q, RB), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (RB, ROWS), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RB), 0)
 
     def cond(c):
         stack, sp, cnt, out = c
@@ -137,8 +140,8 @@ def _top_kernel(
         # 32-bit minor-dim broadcasts, so the mask lives in the i32 compare.
         is_int = active & (node >= 0)
         row = jnp.where(is_int, node, -1)
-        onehot = (col == row[:, None]).astype(jnp.bfloat16)
-        fetch = jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
+        onehot = (col == row[None, :]).astype(jnp.bfloat16)
+        fetch = jnp.dot(tab, onehot, preferred_element_type=jnp.float32)
 
         tl = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_LMIN, COL_LMAX)
         tr = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_RMIN, COL_RMAX)
@@ -179,8 +182,9 @@ def _top_kernel(
 def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
     """One round of top-tree traversal.
 
-    tab: (rows_pad, TOP_COLS) bf16; ro/rd: V3 over Bp rays (Bp a multiple of
-    ray_block); best_t: (Bp,); stack: (S, Bp) i32; sp: (Bp,) i32.
+    tab: (rows_pad, TOP_COLS) bf16 (transposed for the kernel here);
+    ro/rd: V3 over Bp rays (Bp a multiple of ray_block); best_t: (Bp,);
+    stack: (S, Bp) i32; sp: (Bp,) i32.
     Returns (sl (Q, Bp) i32 with -1 empties, cnt (Bp,), stack', sp')."""
 
     Bp = ro.x.shape[0]
@@ -217,7 +221,7 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
         ),
         interpret=jax.default_backend() != "tpu",
     )(
-        tab,
+        tab.T,  # (TOP_COLS, rows_pad) — see _top_kernel layout note
         shape3(ro.x), shape3(ro.y), shape3(ro.z),
         shape3(rd.x), shape3(rd.y), shape3(rd.z),
         shape3(best_t),
@@ -236,24 +240,31 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(sl_ref, cnt_ref, rox_ref, roy_ref, roz_ref, rdx_ref,
-                 rdy_ref, rdz_ref, W_ref, eps_ref, t_ref, u_ref, v_ref,
-                 det_ref, idx_ref, *, TB):
-    """Dense closest hit of one pair block against one superleaf's triangle
-    block. Identical math to pallas_intersect._kernel; the W block is chosen
-    by the scalar-prefetched superleaf id (index_map), and blocks with no
-    real pairs are skipped. Ray features R = [d, o x d, o, 1] are built
-    in-kernel from the six gathered components (the (P, 10) matrix would
-    otherwise round-trip HBM)."""
+def _pair_kernel(blk_ref, sl_ref, lo_ref, hi_ref,
+                 rox_ref, roy_ref, roz_ref, rdx_ref,
+                 rdy_ref, rdz_ref, pos_ref, W_ref, eps_ref, t_ref, u_ref,
+                 v_ref, det_ref, idx_ref, scr_f_ref, scr_i_ref, *, TB, PB):
+    """Dense closest hit of one work item: one contiguous, 128-aligned block
+    of superleaf-sorted rays against one superleaf's triangle block.
 
-    i = pl.program_id(0)
-    n_real = cnt_ref[i]
-    t_ref[0] = jnp.full(t_ref.shape[1:], F32_MAX)
+    Identical math to pallas_intersect._kernel. The grid runs over work
+    items (block, superleaf, lo, hi): the ray block is picked by the
+    scalar-prefetched block id, the W slice by the superleaf id, and lanes
+    outside the superleaf's sorted-position range [lo, hi) are masked out of
+    the blended write — a block straddling a segment boundary is simply
+    visited once per segment. Work items are block-monotone so each output
+    block stays resident in VMEM across its visits. Ray features
+    R = [d, o x d, o, 1] are built in-kernel from the six components (the
+    (P, 10) matrix would otherwise round-trip HBM)."""
 
-    @pl.when(n_real > 0)
+    k = pl.program_id(0)
+    lo = lo_ref[k]
+    hi = hi_ref[k]
+
+    @pl.when(hi > lo)
     def _run():
         def vec(ref):
-            return ref[0].reshape(-1)
+            return ref[0].reshape(-1)  # (1, sub, 128) block -> (PB,)
 
         rox, roy, roz = vec(rox_ref), vec(roy_ref), vec(roz_ref)
         rdx, rdy, rdz = vec(rdx_ref), vec(rdy_ref), vec(rdz_ref)
@@ -332,25 +343,57 @@ def _pair_kernel(sl_ref, cnt_ref, rox_ref, roy_ref, roz_ref, rdx_ref,
             jnp.zeros((PB,), jnp.int32),
         )
         bt, bu, bv, bdet, bidx = jax.lax.fori_loop(0, num_blocks, body, init)
-        t_ref[0] = bt.reshape(t_ref.shape[1:])
-        u_ref[0] = bu.reshape(u_ref.shape[1:])
-        v_ref[0] = bv.reshape(v_ref.shape[1:])
-        det_ref[0] = bdet.reshape(det_ref.shape[1:])
-        idx_ref[0] = bidx.reshape(idx_ref.shape[1:])
+
+        # Blend only the lanes whose sorted position belongs to this work
+        # item's superleaf segment; other lanes keep the value written by
+        # the block's other visits (first-visit garbage on lanes no item
+        # covers is masked by the caller's n_real cut). The position vector
+        # is an input (Mosaic rejects freestanding 2-D->1-D iota casts; a
+        # load+reshape is supported).
+        # Blend only the lanes whose sorted position belongs to this work
+        # item's superleaf segment; other lanes keep the value written by
+        # the block's other visits (first-visit garbage on lanes no item
+        # covers is masked by the caller's n_real cut). Mosaic only folds
+        # 1-D<->2-D casts into memory ops, so each 1-D accumulator takes a
+        # store-adjacent reshape through VMEM scratch and comes back 2-D
+        # for the blended write.
+        m2 = (pos_ref[0] >= lo) & (pos_ref[0] < hi)  # (sub, 128)
+        sh = t_ref.shape[1:]
+        gtri = bidx + sl_ref[k] * (num_blocks * TB)
+
+        def to2d_f(x):
+            scr_f_ref[...] = x.reshape(sh)
+            return scr_f_ref[...]
+
+        def to2d_i(x):
+            scr_i_ref[...] = x.reshape(sh)
+            return scr_i_ref[...]
+
+        t_ref[0] = jnp.where(m2, to2d_f(bt), t_ref[0])
+        u_ref[0] = jnp.where(m2, to2d_f(bu), u_ref[0])
+        v_ref[0] = jnp.where(m2, to2d_f(bv), v_ref[0])
+        det_ref[0] = jnp.where(m2, to2d_f(bdet), det_ref[0])
+        idx_ref[0] = jnp.where(m2, to2d_i(gtri), idx_ref[0])
 
 
-def pair_intersect(blk_sl, blk_cnt, ro, rd, W4, eps, *, SP, pair_block=256,
-                   tri_block=None):
-    """blk_sl/blk_cnt: (n_pb,) i32 superleaf id / real pair count per pair
-    block; ro/rd: V3 of per-pair ray components (Pp = n_pb * pair_block);
-    W4: (4, 10, n_sl*SP) padded-soup coefficient matrix. Returns per-pair
-    (t, u, v, det, local tri idx)."""
+def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256):
+    """Work-item pair intersection over superleaf-sorted rays.
 
-    n_pb = blk_sl.shape[0]
+    blk/sl/lo/hi: (n_items,) i32 work items — ray block id, superleaf id,
+    and the [lo, hi) sorted-position range owned by that superleaf (lanes
+    outside it are masked; lo == hi skips the item). blk must be
+    nondecreasing so output blocks revisit consecutively. ro/rd: V3 of
+    sorted per-pair ray components (P = n_pb * pair_block, n_pb = number of
+    ray blocks); W4: (4, 10, n_sl*SP) padded-soup coefficient matrix.
+    Returns per sorted pair (t, u, v, det, GLOBAL tri idx = sl*SP + local);
+    positions covered by no item hold garbage — cut by the caller."""
+
+    n_items = blk.shape[0]
     PB = pair_block
-    P = n_pb * PB
-    assert ro.x.shape[0] == P
-    TB = tri_block or min(SP, 512)
+    P = ro.x.shape[0]
+    assert P % PB == 0
+    n_pb = P // PB
+    TB = min(SP, 512)
     assert SP % TB == 0
     sub = PB // 128
 
@@ -360,34 +403,43 @@ def pair_intersect(blk_sl, blk_cnt, ro, rd, W4, eps, *, SP, pair_block=256,
         vec(jnp.float32), vec(jnp.int32),
     )
     vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, s, c: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, sub, 128), lambda i, b, s, l, h: (b[i], 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pb,),
-        in_specs=[vec_spec] * 6
+        num_scalar_prefetch=4,
+        grid=(n_items,),
+        in_specs=[vec_spec] * 7
         + [
-            pl.BlockSpec((4, 10, SP), lambda i, s, c: (0, 0, s[i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, 10, SP), lambda i, b, s, l, h: (0, 0, s[i]),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(vec_spec,) * 5,
+        scratch_shapes=[
+            pltpu.VMEM((sub, 128), jnp.float32),
+            pltpu.VMEM((sub, 128), jnp.int32),
+        ],
     )
 
     def shape3(x):
         return x.reshape(n_pb, sub, 128)
 
     t, u, v, det, idx = pl.pallas_call(
-        functools.partial(_pair_kernel, TB=TB),
+        functools.partial(_pair_kernel, TB=TB, PB=PB),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=jax.default_backend() != "tpu",
-    )(blk_sl, blk_cnt,
+    )(blk, sl, lo, hi,
       shape3(ro.x), shape3(ro.y), shape3(ro.z),
       shape3(rd.x), shape3(rd.y), shape3(rd.z),
+      shape3(jnp.arange(P, dtype=jnp.int32)),
       W4, jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
     return (
         t.reshape(P), u.reshape(P), v.reshape(P), det.reshape(P),
