@@ -176,40 +176,9 @@ def closest_hit_dense_jnp(W4, ro: V3, rd: V3, eps, chunk: int | None = None):
     return tuple(out)
 
 
-# Measured on the v5e: the unrolled per-triangle sweep is ~10x SLOWER than
-# the Pallas MXU kernel even for 36 triangles (scalar broadcasts defeat
-# fusion), so it stays available only for reference/debugging.
-UNROLL_MAX_TRIS = 0
-
-
-def closest_hit_unrolled(scene, ro: V3, rd: V3, eps):
-    """Dense closest hit as an unrolled per-triangle lane sweep."""
-
-    B = ro.x.shape[0]
-    best_t = jnp.full(B, F32_MAX)
-    best_u = jnp.zeros(B)
-    best_v = jnp.zeros(B)
-    best_det = jnp.zeros(B)
-    best_tri = jnp.zeros(B, jnp.int32)
-    for i in range(scene.num_world_tris):
-        tv0 = V3(scene.wt_v0[0][i], scene.wt_v0[1][i], scene.wt_v0[2][i])
-        te1 = V3(scene.wt_e1[0][i], scene.wt_e1[1][i], scene.wt_e1[2][i])
-        te2 = V3(scene.wt_e2[0][i], scene.wt_e2[1][i], scene.wt_e2[2][i])
-        t, u, v, det = _ray_tri(ro, rd, tv0, te1, te2, eps)
-        upd = t < best_t
-        best_u = jnp.where(upd, u, best_u)
-        best_v = jnp.where(upd, v, best_v)
-        best_det = jnp.where(upd, det, best_det)
-        best_tri = jnp.where(upd, i, best_tri)
-        best_t = jnp.where(upd, t, best_t)
-    return HitInfo(
-        hit=best_t < F32_MAX,
-        dst=best_t,
-        u=best_u,
-        v=best_v,
-        tri=best_tri,
-        backside=best_det > 0.0,
-    )
+# An unrolled per-triangle sweep was measured ~10x SLOWER than the Pallas
+# MXU kernel even for 36 triangles (scalar broadcasts defeat fusion) and was
+# removed; see git history / ROADMAP.md if the experiment needs reviving.
 
 
 # ---------------------------------------------------------------------------
@@ -559,7 +528,11 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     # position with key >= s (a searchsorted of n_sl+1 queries replaces a
     # QB-element histogram scatter).
     qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(skey, qs, side="left").astype(jnp.int32)
+    # method="sort" merges the probes into the sorted keys (~one extra
+    # cheap sort) — the default bisection pays 19 serial gather rounds.
+    seg_start = jnp.searchsorted(
+        skey, qs, side="left", method="sort"
+    ).astype(jnp.int32)
     cnt_sl = seg_start[1:] - seg_start[:-1]  # (n_sl,)
     n_real = seg_start[n_sl]
 
@@ -575,7 +548,9 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     total_items = ioff[n_sl]
     W_CAP = n_pb + min(n_sl, QB)
     karr = jnp.arange(W_CAP, dtype=jnp.int32)
-    s_k = jnp.searchsorted(ioff[1:], karr, side="right").astype(jnp.int32)
+    s_k = jnp.searchsorted(
+        ioff[1:], karr, side="right", method="compare_all"
+    ).astype(jnp.int32)
     s_k = jnp.minimum(s_k, n_sl - 1)
     valid_k = karr < total_items
     blk_k = first_blk[s_k] + (karr - ioff[s_k])
@@ -653,8 +628,6 @@ def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> Hit
                 scene, closest_hit_wavefront(scene, ro, rd, eps, W=W)
             )
         return _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
-    if scene.num_world_tris <= UNROLL_MAX_TRIS:
-        return _fixup_backside(scene, closest_hit_unrolled(scene, ro, rd, eps))
     if W is None:
         W = scene_tri_matrix(scene)
     if _use_pallas():
@@ -676,12 +649,7 @@ def closest_hit_attrs(
     all per-hit shading gathers. BVH scenes return attrs=None and shade via
     gathers."""
 
-    if (
-        scene.instances_empty
-        or scene.use_bvh
-        or scene.num_world_tris <= UNROLL_MAX_TRIS
-        or not _use_pallas()
-    ):
+    if scene.instances_empty or scene.use_bvh or not _use_pallas():
         return closest_hit(scene, ro, rd, eps, W=W), None
     from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas
 

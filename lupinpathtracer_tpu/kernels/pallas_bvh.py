@@ -298,13 +298,21 @@ def _pair_kernel(blk_ref, sl_ref, lo_ref, hi_ref,
                 ],
                 axis=1,
             )  # (10, 4TB)
-            M = jax.lax.dot_general(
-                Wblk,
-                RT,
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (4TB, PB)
+            # Hand-rolled bf16 hi/lo 3-pass product (~2^-16 rel error —
+            # fine for t/u/v): halves the MXU passes vs HIGHEST's bf16x6,
+            # and Pallas does not lower Precision.HIGH.
+            dims = (((0,), (0,)), ((), ()))
+
+            def dot(a, b):
+                return jax.lax.dot_general(
+                    a, b, dims, preferred_element_type=jnp.float32
+                )
+
+            Whi = Wblk.astype(jnp.bfloat16)
+            Wlo = (Wblk - Whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            Rhi = RT.astype(jnp.bfloat16)
+            Rlo = (RT - Rhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M = dot(Whi, Rhi) + dot(Whi, Rlo) + dot(Wlo, Rhi)  # (4TB, PB)
             det = M[0:TB]
             nu = M[TB : 2 * TB]
             nv = M[2 * TB : 3 * TB]

@@ -61,40 +61,20 @@ def make_ctx(scene, eps):
     return dict(eps=eps, W=W, Wl=Wl)
 
 
-# Stream compaction is implemented but DISABLED by default: on this
-# backend the per-bounce permutation (cumsum + scatter + ~30 lane gathers)
-# measured ~30x slower than the dead-lane work it saves. Revisit once the
-# permutation runs inside a Pallas kernel.
-ENABLE_COMPACTION = False
+# Stream compaction (SURVEY.md §7 step 6) was implemented and measured on
+# this backend: the per-bounce permutation (cumsum + scatter + ~30 lane
+# gathers) ran ~30x slower than the dead-lane work it saves, so it was
+# removed (git history has the implementation). Wavefront path regeneration
+# in pathtrace_spp fills dead lanes instead.
 
 
-def _compact_perm(alive):
-    """Stable permutation moving live lanes to the front. Returns
-    (inv_indices, alive_count): new[j] = old[inv[j]]."""
-
-    B = alive.shape[0]
-    ai = alive.astype(jnp.int32)
-    front = jnp.cumsum(ai) - 1
-    count = front[-1] + 1
-    back = count - 1 + jnp.cumsum(1 - ai)
-    dest = jnp.where(alive, front, back)
-    inv = jnp.zeros(B, jnp.int32).at[dest].set(
-        jnp.arange(B, dtype=jnp.int32)
-    )
-    return inv, count
-
-
-def _apply_perm(inv, tree):
-    return jax.tree.map(lambda x: x[inv], tree)
-
-
-def ray_skip_alpha(scene, ctx, ro, rd, state, mask, alive_count=None):
+def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
     """ray_skip_alpha_stochastically (bvh_custom.wgsl:154-180): re-cast
     through lanes whose opacity test fails, accumulating distance. Gated by
     the static has_alpha flag — opaque scenes pay exactly one intersection."""
 
     hit, attrs = intersect.closest_hit_attrs(
-        scene, ro, rd, ctx["eps"], W=ctx["W"], alive_count=alive_count
+        scene, ro, rd, ctx["eps"], W=ctx["W"]
     )
     if not scene.has_alpha:
         return hit, attrs, state
@@ -329,22 +309,12 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
     B = ro.x.shape[0]
     is_direct = ptype == PathtraceType.DIRECT
     use_nee = ptype in (PathtraceType.STANDARD, PathtraceType.DIRECT)
-    # Stream compaction (SURVEY.md §7 step 6): live lanes move to the front
-    # each bounce so the dense intersector only pays for the live prefix.
-    do_compact = (
-        ENABLE_COMPACTION
-        and regen is None
-        and (not scene.use_bvh)
-        and (not scene.instances_empty)
-        and B >= 4096
-    )
 
     init = dict(
         bounce=jnp.int32(0) if regen is None else jnp.zeros(B, jnp.int32),
         ro=ro,
         rd=rd,
         state=state,
-        pixel=jnp.arange(B, dtype=jnp.int32),
         weight=v3.full(B, 1.0),
         radiance=v3.zeros(B),
         alive=jnp.ones(B, bool),
@@ -366,15 +336,6 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         return jnp.any(c["alive"]) & (c["bounce"] <= max_bounces)
 
     def body(c):
-        if do_compact:
-            inv, alive_count = _compact_perm(c["alive"])
-            bounce = c["bounce"]
-            c = dict(c)
-            del c["bounce"]
-            c = _apply_perm(inv, c)
-            c["bounce"] = bounce
-        else:
-            alive_count = None
         alive = c["alive"]
         ro, rd = c["ro"], c["rd"]
         weight, radiance = c["weight"], c["radiance"]
@@ -382,9 +343,7 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         next_emission = c["next_emission"]
 
         n_traced = c["n_traced"] + alive.astype(jnp.int32)
-        hit, attrs, state = ray_skip_alpha(
-            scene, ctx, ro, rd, state, alive, alive_count
-        )
+        hit, attrs, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive)
 
         # Miss: environment (pathtrace_direct gates on next_emission,
         # pathtracer.wgsl:1075-1080; standard/naive add unconditionally).
@@ -428,7 +387,6 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
             n_traced = n_traced + nd.astype(jnp.int32)
             lhit, lattrs = intersect.closest_hit_attrs(
                 scene, pos_surf, ldir, ctx["eps"], W=ctx["W"],
-                alive_count=alive_count,
             )
             l_em = get_material_point(scene, lhit, lattrs).emission
             if not scene.envs_empty:
@@ -521,7 +479,6 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
             ro=ro,
             rd=rd,
             state=state,
-            pixel=c["pixel"],
             weight=weight,
             radiance=radiance,
             alive=alive,
@@ -545,25 +502,7 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
     c = jax.lax.while_loop(cond, body, init)
     if regen is not None:
         return c["acc"], c["n_traced"]
-    return _unscramble(c, B, do_compact)
-
-
-def _unscramble(c, B, compacted):
-    """Scatter per-lane results back to pixel order after compaction."""
-
-    if not compacted:  # identity permutation — skip the scatters
-        return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
-    pix = c["pixel"]
-    rad = c["radiance"]
-    out_rad = V3(
-        jnp.zeros(B).at[pix].set(rad.x),
-        jnp.zeros(B).at[pix].set(rad.y),
-        jnp.zeros(B).at[pix].set(rad.z),
-    )
-    nb = jnp.zeros(B, jnp.int32).at[pix].set(c["n_bounces"])
-    nt = jnp.zeros(B, jnp.int32).at[pix].set(c["n_traced"])
-    st = jnp.zeros(B, jnp.uint32).at[pix].set(c["state"])
-    return out_rad, st, nb, nt
+    return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
 
 
 def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
@@ -572,20 +511,12 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
     matching the reference's use of ray_scene_intersection there)."""
 
     B = ro.x.shape[0]
-    do_compact = (
-        ENABLE_COMPACTION
-        and regen is None
-        and (not scene.use_bvh)
-        and (not scene.instances_empty)
-        and B >= 4096
-    )
 
     init = dict(
         bounce=jnp.int32(0) if regen is None else jnp.zeros(B, jnp.int32),
         ro=ro,
         rd=rd,
         state=state,
-        pixel=jnp.arange(B, dtype=jnp.int32),
         weight=v3.full(B, 1.0),
         radiance=v3.zeros(B),
         alive=jnp.ones(B, bool),
@@ -607,15 +538,6 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         return jnp.any(c["alive"]) & (c["bounce"] <= max_bounces)
 
     def body(c):
-        if do_compact:
-            inv, alive_count = _compact_perm(c["alive"])
-            bounce = c["bounce"]
-            c = dict(c)
-            del c["bounce"]
-            c = _apply_perm(inv, c)
-            c["bounce"] = bounce
-        else:
-            alive_count = None
         alive = c["alive"]
         ro, rd = c["ro"], c["rd"]
         weight, radiance = c["weight"], c["radiance"]
@@ -627,7 +549,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         # Alpha skip applies only when the previous bounce requested a fresh
         # emission-carrying ray (pathtracer.wgsl:751-756).
         hit, attrs, state = ray_skip_alpha(
-            scene, ctx, ro, rd, state, alive & next_emission, alive_count
+            scene, ctx, ro, rd, state, alive & next_emission
         )
 
         miss_m = alive & ~hit.hit
@@ -676,7 +598,6 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
             go = active & v3.all_nonzero(f) & (mw != 0.0)
             mhit, mattrs = intersect.closest_hit_attrs(
                 scene, pos_surf, mdir, ctx["eps"], W=ctx["W"],
-                alive_count=alive_count,
             )
             em = get_material_point(scene, mhit, mattrs).emission
             if not scene.envs_empty:
@@ -769,7 +690,6 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
             ro=ro,
             rd=rd,
             state=state,
-            pixel=c["pixel"],
             weight=weight,
             radiance=radiance,
             alive=alive,
@@ -793,7 +713,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
     c = jax.lax.while_loop(cond, body, init)
     if regen is not None:
         return c["acc"], c["n_traced"]
-    return _unscramble(c, B, do_compact)
+    return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
 
 
 def clamp_radiance(radiance: V3, max_radiance) -> V3:

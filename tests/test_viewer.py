@@ -1,0 +1,60 @@
+"""Viewer app exercise (VERDICT r1 item 9): one orbit at tiny resolution
+through the full CLI path — normals preview AOV, progressive accumulation,
+denoise, tonemap, PNG output. Mirrors the reference viewer's capabilities
+(lupin_viewer/src/main.rs: falsecolor-while-moving :564-566, denoise after
+N accums :610, reset-on-movement :494)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lupinpathtracer_tpu.apps import viewer
+
+
+def test_orbit_transform_preserves_distance():
+    base = np.zeros((3, 4), np.float32)
+    base[:, :3] = np.eye(3)
+    base[:, 3] = (0.0, 1.0, -3.9)
+    for ang in (0.0, 1.3, np.pi):
+        out = viewer.orbit_transform(base, ang)
+        assert out.shape == (3, 4)
+        # Rotation about Y through the origin: distance from axis preserved.
+        np.testing.assert_allclose(
+            np.hypot(out[0, 3], out[2, 3]), np.hypot(base[0, 3], base[2, 3]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(out[1, 3], base[1, 3], rtol=1e-5)
+        # Frame columns stay orthonormal.
+        np.testing.assert_allclose(
+            out[:, :3] @ out[:, :3].T, np.eye(3), atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("integrator", ["standard"])
+def test_viewer_orbit_end_to_end(tmp_path, integrator):
+    out = tmp_path / "frames"
+    viewer.main([
+        "--out", str(out),
+        "--orbit", "2",
+        "--width", "16",
+        "--accums", "2",
+        "--spp", "1",
+        "--bounces", "2",
+        "--integrator", integrator,
+        "--denoise",
+        "--preview-normals",
+    ])
+    files = sorted(os.listdir(out))
+    assert files == [
+        "frame000.png", "frame000_preview.png",
+        "frame001.png", "frame001_preview.png",
+    ]
+    from PIL import Image
+
+    for f in files:
+        img = np.asarray(Image.open(out / f))
+        assert img.shape[1] == 16 and img.shape[0] >= 8
+    # The angle-0 frame faces the lit Cornell box (the 180-degree orbit
+    # frame legitimately looks away into blackness).
+    assert np.asarray(Image.open(out / "frame000.png")).max() > 0

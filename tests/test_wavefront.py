@@ -105,8 +105,10 @@ def test_wavefront_matches_stack_walk(n_rays, rng):
 
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
     h = np.asarray(ref.hit)
+    # The pair kernel's bf16 hi/lo 3-pass product carries ~2^-13 relative
+    # error on t (pallas_bvh._pair_kernel) — well under golden tolerances.
     np.testing.assert_allclose(
-        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
     )
     # The winning triangle may legitimately differ on shared edges; the
     # distances must not.
@@ -124,6 +126,8 @@ def test_wavefront_single_superleaf(rng):
     got = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
     h = np.asarray(ref.hit)
+    # The pair kernel's bf16 hi/lo 3-pass product carries ~2^-13 relative
+    # error on t (pallas_bvh._pair_kernel) — well under golden tolerances.
     np.testing.assert_allclose(
-        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
     )
