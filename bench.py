@@ -105,16 +105,108 @@ def main():
     mrays = total_rays / dt / 1e6
     assert bool(np.isfinite(np.asarray(image)).all())
 
-    print(
-        json.dumps(
-            {
-                "metric": "cornellbox_512_8bounce_64spp_ray_throughput",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / 100.0, 3),
-            }
-        )
+    # --- secondary metric: BVH wavefront path on a 456k-tri scene ---
+    # (VERDICT r1 item 4: a committed Mrays/s figure for a >=100k-tri
+    # scene.) Embedded in the same single JSON line the driver parses.
+    bvh_metric = None
+    try:
+        bvh_metric = bench_bvh_scene()
+    except Exception as e:  # missing corpus etc. — keep the headline alive
+        print(f"# bvh bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "cornellbox_512_8bounce_64spp_ray_throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 100.0, 3),
+    }
+    if bvh_metric:
+        out["bvh_secondary"] = bvh_metric
+    print(json.dumps(out))
+
+
+def bench_bvh_scene():
+    """arealights1 (456k tris) through the wavefront BVH path: full paths
+    (intersect + shade + NEE), honest traced-segment count."""
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lupinpathtracer_tpu.core.types import (
+        BakedPathtraceParams,
+        PathtraceDesc,
+        PathtraceType,
     )
+    from lupinpathtracer_tpu.io import yocto_json
+    from lupinpathtracer_tpu.render import renderer, integrators
+    from lupinpathtracer_tpu.render.renderer import _camera_args
+    from lupinpathtracer_tpu.core import rng as rng_mod
+    from lupinpathtracer_tpu.render.camera import compute_camera_ray
+    from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
+
+    W, H = 512, 256
+    SPP = 8
+    BOUNCES = 8
+
+    scene, cams = yocto_json.load_scene_yoctogl_v24(
+        "/root/reference/test_scenes/arealights1/arealights1.json"
+    )
+    tpu = build_scene_tpu(scene)
+    assert tpu.use_bvh and tpu.sl_count > 0
+    desc = PathtraceDesc()
+    desc.camera_transform = cams[1].transform
+    desc.camera_params = cams[1].params
+    desc.pathtrace_type = PathtraceType.STANDARD
+    desc.advanced.max_radiance = 10.0
+    baked = BakedPathtraceParams(max_bounces=BOUNCES, samples_per_pixel=SPP)
+    cam = _camera_args(desc)
+
+    @jax.jit
+    def probe(scene):
+        xs = jnp.arange(W, dtype=jnp.int32)
+        ys = jnp.arange(H, dtype=jnp.int32)
+        gx = jnp.broadcast_to(xs[None, :], (H, W)).reshape(-1)
+        gy = jnp.broadcast_to(ys[:, None], (H, W)).reshape(-1)
+        pix = (gy * W + gx).astype(jnp.uint32)
+        state = rng_mod.init_state(pix, 0, 0, 0)
+        state, ox = rng_mod.next_f32(state)
+        state, oy = rng_mod.next_f32(state)
+        state, ro, rd = compute_camera_ray(
+            cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
+            cam["focus"], cam["aperture"], False,
+            gx, gy, (jnp.float32(W), jnp.float32(H)),
+            ox - 0.5, oy - 0.5, state,
+        )
+        ctx = integrators.make_ctx(scene, jnp.float32(1e-3))
+        _, _, _, n_traced = integrators.pathtrace(
+            scene, ctx, ro, rd, state, int(PathtraceType.STANDARD), BOUNCES
+        )
+        return jnp.sum(n_traced.astype(jnp.float32))
+
+    rays_per_spp = int(probe(tpu))
+
+    image = renderer.new_accumulation_buffer(W, H)
+    desc.accum_params.accumulate = True
+    desc.accum_params.counter = 0
+    image = renderer.pathtrace_scene(tpu, image, desc, baked)
+    _ = float(jnp.sum(image))
+    REPS = 3
+    t0 = time.time()
+    for r in range(REPS):
+        desc.accum_params.counter = r + 1
+        image = renderer.pathtrace_scene(tpu, image, desc, baked)
+    _ = float(jnp.sum(image))
+    dt = time.time() - t0
+    total = rays_per_spp * SPP * REPS
+    mrays = total / dt / 1e6
+    assert bool(np.isfinite(np.asarray(image)).all())
+    print(f"# bvh: dt={dt:.2f}s rays={total}", file=sys.stderr)
+    return {
+        "metric": "arealights1_456ktris_512x256_8bounce_8spp_bvh",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s/chip",
+    }
 
 
 if __name__ == "__main__":

@@ -110,14 +110,14 @@ def _subtree_ranges(bvh: BvhArrays) -> tuple[np.ndarray, np.ndarray]:
     return begin, end
 
 
-def pick_stride(num_tris: int, max_top_rows: int = 512) -> int:
+def pick_stride(num_tris: int, max_top_rows: int = 1024) -> int:
     """Smallest power-of-two stride (>=256) keeping the top table small.
 
-    The traversal kernel pays one (RB, rows)@(rows, 18) one-hot matmul per
-    lockstep step, so a SHALLOW top tree with few rows wins: superleaf
-    triangle tests ride the MXU at ~100x lower per-triangle cost than a
-    traversal step, making big leaves the right trade (measured: stride 512
-    / 1319 rows was traversal-bound)."""
+    The traversal kernel pays one (18, rows)@(rows, RB) one-hot fetch
+    matmul per lockstep step (transposed so rays ride the lanes), so rows
+    are cheap up to ~768; superleaf triangle tests still dominate beyond
+    that. v5e sweep on arealights1 (456k tris): stride 1024 / 669 rows beat
+    2048 / 335 by 8% and 512 / 1319 by 11% (with WF_Q=8)."""
 
     stride = 256
     while num_tris / stride > max_top_rows * 0.75:

@@ -361,7 +361,9 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
 # Wavefront two-level traversal (TPU; see kernels/pallas_bvh.py)
 # ---------------------------------------------------------------------------
 
-WF_Q = 4  # superleaf hits collected per ray per round
+WF_Q = 8  # superleaf hits collected per ray per round (v5e sweep: Q=8 +
+# SP=1024 beat Q=4/SP=2048 by 11% on arealights1 — fewer rounds outweighs
+# the larger sort)
 WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
 
@@ -488,6 +490,153 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
     )
 
 
+def _wf_work_items(skey, n_sl, PB):
+    """Work-item table from superleaf-sorted keys (empties keyed n_sl).
+
+    Superleaf s covers sorted positions [seg_start[s], seg_start[s+1]) =
+    blocks first_blk..last_blk; boundary blocks get one item per segment.
+    Returns (blk, sl, lo, hi, n_real): block-monotone items sized to the
+    static cap n_blocks + n_sl, with invalid tail items repeating the last
+    valid block/superleaf (kernels skip them via lo == hi, and repeating
+    the ids keeps resident blocks unchanged so write-back is idempotent)."""
+
+    P = skey.shape[0]
+    n_pb = P // PB
+    # seg_start[s] = first sorted position with key >= s. method="sort"
+    # merges the probes into the sorted keys (~one extra cheap sort) — the
+    # default bisection pays 19 serial gather rounds.
+    qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(
+        skey, qs, side="left", method="sort"
+    ).astype(jnp.int32)
+    cnt_sl = seg_start[1:] - seg_start[:-1]  # (n_sl,)
+    n_real = seg_start[n_sl]
+
+    first_blk = seg_start[:n_sl] // PB
+    last_blk = jnp.maximum(seg_start[1:] - 1, seg_start[:n_sl]) // PB
+    n_items_s = jnp.where(cnt_sl > 0, last_blk - first_blk + 1, 0)
+    ioff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_items_s)]
+    )
+    total_items = ioff[n_sl]
+    W_CAP = n_pb + min(n_sl, P)
+    karr = jnp.arange(W_CAP, dtype=jnp.int32)
+    s_k = jnp.searchsorted(
+        ioff[1:], karr, side="right", method="compare_all"
+    ).astype(jnp.int32)
+    s_k = jnp.minimum(s_k, n_sl - 1)
+    valid_k = karr < total_items
+    blk_k = first_blk[s_k] + (karr - ioff[s_k])
+    blk_k = jnp.maximum(
+        jax.lax.cummax(jnp.where(valid_k, blk_k, -1)), 0
+    )
+    sl_k = jnp.maximum(jax.lax.cummax(jnp.where(valid_k, s_k, -1)), 0)
+    lo_k = jnp.where(valid_k, seg_start[s_k], 0)
+    hi_k = jnp.where(valid_k, seg_start[s_k + 1], 0)
+    return blk_k, sl_k, lo_k, hi_k, n_real
+
+
+@struct.dataclass
+class InterpAttrs:
+    """Per-ray shading attributes pre-interpolated at the hit barycentrics
+    by the BVH wavefront's attr_fetch kernel (see pallas_bvh.IA_* layout).
+    Plays the role the dense kernel's packed (ATTR_WIDTH, B) matrix plays
+    for small scenes: per-material fields are reconstructed from mat_id by
+    a static select-chain in render/materials (the material table is tiny),
+    so nothing here needs a lane gather."""
+
+    n: V3          # unnormalized interpolated shading normal
+    gn: V3         # geometric normal
+    tu: jnp.ndarray
+    tv: jnp.ndarray
+    has_uv: jnp.ndarray  # bool
+    vc: V3         # interpolated vertex color
+    vca: jnp.ndarray
+    det_sign: jnp.ndarray
+    mat_id: jnp.ndarray  # i32
+    tan: V3 | None = None  # only when the scene has normal maps
+    bit: V3 | None = None
+
+
+def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
+    """InterpAttrs for the BVH wavefront path — the analog of the dense
+    kernel's in-kernel attr fetch.
+
+    Rays are sorted by winning superleaf (misses keyed n_sl, sorted last),
+    the winner's attribute row is one-hot-fetched and interpolated per work
+    item from that superleaf's (SP, ATTR_WIDTH) slice, and the compact rows
+    ride one variadic sort keyed on the original ray index back to ray
+    order — replacing ~45 XLA lane gathers (~4-6 ms each at 131k rays)
+    with two sorts and one MXU kernel. The row count is capped so the
+    un-sort stays a single <=16-operand sort (XLA TPU sort compile time
+    explodes beyond that); tangent frames ride a second small sort only
+    when the scene has normal maps."""
+
+    from . import pallas_bvh as pb
+    from . import pallas_intersect as pk
+
+    B = hit.tri.shape[0]
+    SP = scene.sl_stride
+    n_sl = scene.sl_count
+    PB = WF_PAIR_BLOCK
+    pad = (-B) % PB
+    Bp = B + pad
+
+    def padv(x, fill):
+        return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+
+    hitm = padv(hit.hit, False)
+    tri = jnp.where(hitm, padv(hit.tri, 0), 0)
+    key = jnp.where(hitm, tri // SP, n_sl).astype(jnp.int32)
+    li = jnp.where(hitm, tri % SP, 0)
+    ridx = jnp.arange(Bp, dtype=jnp.int32)
+    skey, s_ridx, s_li, s_u, s_v = jax.lax.sort(
+        (key, ridx, li, padv(hit.u, 0.0), padv(hit.v, 0.0)), num_keys=1
+    )
+
+    blk_k, sl_k, lo_k, hi_k, _ = _wf_work_items(skey, n_sl, PB)
+    A3 = scene.wt_attr[: n_sl * SP].reshape(n_sl, SP, pk.ATTR_WIDTH)
+    with_tan = bool(scene.any_normal_maps)
+    a = pb.attr_fetch(
+        blk_k, sl_k, lo_k, hi_k, s_li, s_u, s_v, A3,
+        pair_block=PB, with_tangents=with_tan,
+    )  # (IA_ROWS[_NM], Bp) in sorted order
+
+    base = jax.lax.sort(
+        (s_ridx, *[a[i] for i in range(pb.IA_ROWS - 1)]), num_keys=1
+    )[1:]
+
+    def cut(x):
+        x = jnp.where(hitm, x, 0.0)
+        return x[:B] if pad else x
+
+    r = [cut(x) for x in base]
+    tan = bit = None
+    if with_tan:
+        tb = jax.lax.sort(
+            (s_ridx, *[a[i] for i in range(pb.IA_TAN.start, pb.IA_BIT.stop)]),
+            num_keys=1,
+        )[1:]
+        tb = [cut(x) for x in tb]
+        tan = V3(tb[0], tb[1], tb[2])
+        bit = V3(tb[3], tb[4], tb[5])
+
+    ia = pb
+    return InterpAttrs(
+        n=V3(r[ia.IA_N.start], r[ia.IA_N.start + 1], r[ia.IA_N.start + 2]),
+        gn=V3(r[ia.IA_GN.start], r[ia.IA_GN.start + 1], r[ia.IA_GN.start + 2]),
+        tu=r[ia.IA_TU],
+        tv=r[ia.IA_TV],
+        has_uv=r[ia.IA_HAS_UV] > 0.0,
+        vc=V3(r[ia.IA_VC.start], r[ia.IA_VC.start + 1], r[ia.IA_VC.start + 2]),
+        vca=r[ia.IA_VCA],
+        det_sign=r[ia.IA_DET_SIGN],
+        mat_id=r[ia.IA_MAT_ID].astype(jnp.int32),
+        tan=tan,
+        bit=bit,
+    )
+
+
 def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     """One wavefront round over `Bp = rop.x.shape[0]` lanes: top-tree
     traversal -> pair grouping -> MXU pair intersection -> per-ray min.
@@ -524,46 +673,7 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
         num_keys=1,
     )
 
-    # Segment table from the sorted keys: seg_start[s] = first sorted
-    # position with key >= s (a searchsorted of n_sl+1 queries replaces a
-    # QB-element histogram scatter).
-    qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
-    # method="sort" merges the probes into the sorted keys (~one extra
-    # cheap sort) — the default bisection pays 19 serial gather rounds.
-    seg_start = jnp.searchsorted(
-        skey, qs, side="left", method="sort"
-    ).astype(jnp.int32)
-    cnt_sl = seg_start[1:] - seg_start[:-1]  # (n_sl,)
-    n_real = seg_start[n_sl]
-
-    # ---- work items: (ray block, superleaf, sorted-position range) ----
-    # Superleaf s covers sorted positions [seg_start[s], seg_start[s+1]) =
-    # blocks first_blk..last_blk; boundary blocks get one item per segment.
-    first_blk = seg_start[:n_sl] // PB
-    last_blk = jnp.maximum(seg_start[1:] - 1, seg_start[:n_sl]) // PB
-    n_items_s = jnp.where(cnt_sl > 0, last_blk - first_blk + 1, 0)
-    ioff = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_items_s)]
-    )
-    total_items = ioff[n_sl]
-    W_CAP = n_pb + min(n_sl, QB)
-    karr = jnp.arange(W_CAP, dtype=jnp.int32)
-    s_k = jnp.searchsorted(
-        ioff[1:], karr, side="right", method="compare_all"
-    ).astype(jnp.int32)
-    s_k = jnp.minimum(s_k, n_sl - 1)
-    valid_k = karr < total_items
-    blk_k = first_blk[s_k] + (karr - ioff[s_k])
-    # Invalid tail items repeat the last valid block/superleaf (blk_k is
-    # nondecreasing, so cummax fills forward) — the kernel skips them via
-    # lo == hi, and repeating the ids keeps the resident blocks unchanged
-    # so the final write-back is idempotent.
-    blk_k = jnp.maximum(
-        jax.lax.cummax(jnp.where(valid_k, blk_k, -1)), 0
-    )
-    sl_k = jnp.maximum(jax.lax.cummax(jnp.where(valid_k, s_k, -1)), 0)
-    lo_k = jnp.where(valid_k, seg_start[s_k], 0)
-    hi_k = jnp.where(valid_k, seg_start[s_k + 1], 0)
+    blk_k, sl_k, lo_k, hi_k, n_real = _wf_work_items(skey, n_sl, PB)
 
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
     t, u, v, det, gtri = pb.pair_intersect(
@@ -649,8 +759,13 @@ def closest_hit_attrs(
     all per-hit shading gathers. BVH scenes return attrs=None and shade via
     gathers."""
 
-    if scene.instances_empty or scene.use_bvh or not _use_pallas():
+    if scene.instances_empty or not _use_pallas():
         return closest_hit(scene, ro, rd, eps, W=W), None
+    if scene.use_bvh:
+        if scene.sl_count == 0:
+            return closest_hit(scene, ro, rd, eps, W=W), None
+        h = closest_hit(scene, ro, rd, eps, W=W)
+        return h, wavefront_fetch_attrs(scene, h)
     from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas
 
     if W is None:

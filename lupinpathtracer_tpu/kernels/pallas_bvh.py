@@ -453,3 +453,159 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256):
         t.reshape(P), u.reshape(P), v.reshape(P), det.reshape(P),
         idx.reshape(P),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase C: per-winner shading-attribute fetch
+# ---------------------------------------------------------------------------
+
+
+# Output row layout of _attr_kernel: interpolated/copied per-winner shading
+# quantities, compact enough that the un-sort back to ray order fits ONE
+# <=16-operand variadic sort (XLA TPU sort compile time explodes beyond
+# ~16 operands; a raw 62-row unsort took >18 min to compile).
+IA_N = slice(0, 3)        # n0*w + n1*u + n2*v (unnormalized)
+IA_GN = slice(3, 6)       # geometric normal
+IA_TU = 6                 # interpolated texcoord u
+IA_TV = 7                 # interpolated texcoord v
+IA_HAS_UV = 8
+IA_VC = slice(9, 12)      # interpolated vertex color rgb
+IA_VCA = 12               # interpolated vertex alpha
+IA_DET_SIGN = 13
+IA_MAT_ID = 14
+IA_ROWS = 16              # rows 15 unused (pad to a sublane multiple)
+IA_TAN = slice(16, 19)    # only emitted when the scene has normal maps
+IA_BIT = slice(19, 22)
+IA_ROWS_NM = 24
+
+
+def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, li_ref, u_ref, v_ref,
+                 A_ref, attr_ref, *, PB, AWOUT):
+    """One-hot fetch + in-kernel interpolation of winner shading attributes.
+
+    Work items mirror _pair_kernel: rays sorted by winning superleaf, one
+    contiguous 128-aligned block per item with [lo, hi) masking. The item's
+    (SP, ATTR_WIDTH) attribute slice is picked by the scalar-prefetched
+    superleaf id; the fetch is an exact one-hot matmul (HIGHEST — bit-exact
+    f32, same as pallas_intersect._kernel_attrs_body). Normals, texcoords
+    and vertex colors are interpolated at the hit barycentrics HERE so only
+    IA_ROWS compact rows ride the un-sort."""
+
+    from . import pallas_intersect as pk
+
+    k = pl.program_id(0)
+    lo = lo_ref[k]
+    hi = hi_ref[k]
+
+    @pl.when(hi > lo)
+    def _run():
+        li = li_ref[0].reshape(-1)  # (PB,) local tri index within superleaf
+        hu = u_ref[0].reshape(-1)
+        hv = v_ref[0].reshape(-1)
+        A = A_ref[0]  # (SP, AW)
+        SP = A.shape[0]
+        srow = jax.lax.broadcasted_iota(jnp.int32, (SP, li.shape[0]), 0)
+        onehot = (srow == li[None, :]).astype(jnp.float32)
+        attrs = jax.lax.dot_general(
+            A, onehot,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (AW, PB)
+
+        hw = 1.0 - hu - hv
+        rows = [None] * AWOUT
+        for c in range(3):
+            rows[IA_N.start + c] = (
+                attrs[pk.ATTR_N0.start + c] * hw
+                + attrs[pk.ATTR_N1.start + c] * hu
+                + attrs[pk.ATTR_N2.start + c] * hv
+            )
+            rows[IA_GN.start + c] = attrs[pk.ATTR_GN.start + c]
+        rows[IA_TU] = (
+            attrs[pk.ATTR_UV0.start] * hw
+            + attrs[pk.ATTR_UV1.start] * hu
+            + attrs[pk.ATTR_UV2.start] * hv
+        )
+        rows[IA_TV] = (
+            attrs[pk.ATTR_UV0.start + 1] * hw
+            + attrs[pk.ATTR_UV1.start + 1] * hu
+            + attrs[pk.ATTR_UV2.start + 1] * hv
+        )
+        rows[IA_HAS_UV] = attrs[pk.ATTR_HAS_UV]
+        for c in range(3):
+            rows[IA_VC.start + c] = (
+                attrs[pk.ATTR_C0.start + c] * hw
+                + attrs[pk.ATTR_C1.start + c] * hu
+                + attrs[pk.ATTR_C2.start + c] * hv
+            )
+        rows[IA_VCA] = (
+            attrs[pk.ATTR_C0.start + 3] * hw
+            + attrs[pk.ATTR_C1.start + 3] * hu
+            + attrs[pk.ATTR_C2.start + 3] * hv
+        )
+        rows[IA_DET_SIGN] = attrs[pk.ATTR_DET_SIGN]
+        rows[IA_MAT_ID] = attrs[pk.ATTR_MAT_ID]
+        if AWOUT >= IA_ROWS_NM:
+            for c in range(3):
+                rows[IA_TAN.start + c] = attrs[pk.ATTR_TAN.start + c]
+                rows[IA_BIT.start + c] = attrs[pk.ATTR_BIT.start + c]
+        zero = jnp.zeros_like(rows[0])
+        out = jnp.stack([r if r is not None else zero for r in rows], axis=0)
+
+        pos = blk_ref[k] * PB + jax.lax.broadcasted_iota(
+            jnp.int32, (AWOUT, PB), 1
+        )
+        m = (pos >= lo) & (pos < hi)
+        attr_ref[0] = jnp.where(m, out, attr_ref[0])
+
+
+def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
+               with_tangents=False):
+    """blk/sl/lo/hi: work items as in pair_intersect; li: (P,) i32 local tri
+    index per sorted ray; hu/hv: (P,) hit barycentrics; A3: (n_sl, SP, AW)
+    packed attribute slices. Returns (IA_ROWS[_NM], P) interpolated
+    attributes in sorted-ray order (uncovered positions = garbage; cut by
+    the caller)."""
+
+    n_items = blk.shape[0]
+    PB = pair_block
+    P = li.shape[0]
+    assert P % PB == 0
+    n_pb = P // PB
+    AWOUT = IA_ROWS_NM if with_tangents else IA_ROWS
+    sub = PB // 128
+
+    vec_spec = pl.BlockSpec(
+        (1, sub, 128), lambda i, b, s, l, h: (b[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_items,),
+        in_specs=[
+            vec_spec, vec_spec, vec_spec,
+            pl.BlockSpec(
+                (1, A3.shape[1], A3.shape[2]),
+                lambda i, b, s, l, h: (s[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, AWOUT, PB), lambda i, b, s, l, h: (b[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_attr_kernel, PB=PB, AWOUT=AWOUT),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pb, AWOUT, PB), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(blk, sl, lo, hi,
+      li.reshape(n_pb, sub, 128),
+      hu.reshape(n_pb, sub, 128), hv.reshape(n_pb, sub, 128),
+      A3)
+    return out.transpose(1, 0, 2).reshape(AWOUT, P)

@@ -94,7 +94,14 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
         recast = c["recast"]
         h = jax.tree.map(lambda a, b: jnp.where(recast, a, b), nh, c["hit"])
         if has_attrs:
-            at = jnp.where(recast[None, :], nat, c["attrs"])
+            # Works for both attr layouts: the dense (AW, B) matrix blends
+            # along its lane axis; InterpAttrs blends per (B,) leaf.
+            at = jax.tree.map(
+                lambda a, b: jnp.where(
+                    recast[None, :] if a.ndim == 2 else recast, a, b
+                ),
+                nat, c["attrs"],
+            )
         else:
             at = c["attrs"]
         dst_acc = jnp.where(recast, c["dst_acc"] + nh.dst, c["dst_acc"])

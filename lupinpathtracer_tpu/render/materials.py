@@ -22,6 +22,7 @@ from ..core.types import MaterialType, MIN_ROUGHNESS
 from ..core import vec3 as v3
 from ..core.vec3 import V3
 from ..kernels import pallas_intersect as pk
+from ..kernels.intersect import InterpAttrs
 from ..kernels.texture import sample_texture, srgb_to_linear
 
 
@@ -62,6 +63,19 @@ def _a_v4(attrs, sl):
     )
 
 
+def _sel_by_id(tab, idx, n):
+    """tab[idx] for a tiny static-length table, as a fused select-chain —
+    XLA TPU lane gathers cost ~4 ms at 131k lanes regardless of table size,
+    while n static selects are free VPU work."""
+
+    if n > 64:
+        return tab[idx]
+    out = jnp.broadcast_to(tab[0], idx.shape)
+    for m in range(1, n):
+        out = jnp.where(idx == m, tab[m], out)
+    return out
+
+
 def hit_texcoords(scene, hit, attrs=None):
     """Interpolated UVs + per-lane availability flag; returns (u, v, has)."""
 
@@ -69,6 +83,8 @@ def hit_texcoords(scene, hit, attrs=None):
     if not scene.any_uv:
         z = jnp.zeros(B, jnp.float32)
         return z, z, jnp.zeros(B, bool)
+    if isinstance(attrs, InterpAttrs):
+        return attrs.tu, attrs.tv, attrs.has_uv
     if attrs is not None:
         u0, v0 = _a_v2(attrs, pk.ATTR_UV0)
         u1, v1 = _a_v2(attrs, pk.ATTR_UV1)
@@ -88,8 +104,32 @@ def hit_texcoords(scene, hit, attrs=None):
 
 
 def _mat_fields(scene, hit, attrs):
-    """Per-lane material row (dense: packed attrs; BVH: gathers)."""
+    """Per-lane material row (dense: packed attrs; wavefront: mat_id
+    select-chain; fallback: gathers)."""
 
+    if isinstance(attrs, InterpAttrs):
+        mid = attrs.mat_id
+        M = scene.num_materials
+
+        def s(tab):
+            return _sel_by_id(tab, mid, M)
+
+        return dict(
+            base_color=V3(
+                s(scene.mat_color[0]), s(scene.mat_color[1]),
+                s(scene.mat_color[2]),
+            ),
+            base_alpha=s(scene.mat_color[3]),
+            emission=V3(*(s(scene.mat_emission[c]) for c in range(3))),
+            scattering=V3(*(s(scene.mat_scattering[c]) for c in range(3))),
+            mtype=s(scene.mat_type),
+            roughness=s(scene.mat_roughness),
+            metallic=s(scene.mat_metallic),
+            ior=s(scene.mat_ior),
+            aniso=s(scene.mat_sc_anisotropy),
+            tr_depth=s(scene.mat_tr_depth),
+            tex=[s(scene.mat_tex[k]) for k in range(5)],
+        )
     if attrs is not None:
         color_rgb, color_a = _a_v4(attrs, pk.ATTR_MAT_COLOR)
         return dict(
@@ -134,8 +174,9 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
 
     def tex_sample(slot):
         # Texture fetches only apply when the mesh has texcoords
-        # (pathtracer.wgsl:1285-1311).
-        if not use_tex:
+        # (pathtracer.wgsl:1285-1311). Slots no used material binds are
+        # compiled out entirely (static tex_slot_used flag).
+        if not use_tex or not scene.tex_slot_used[slot]:
             ones = jnp.ones(B, jnp.float32)
             return V3(ones, ones, ones), ones
         ti = jnp.where(has_uv, mf["tex"][slot], -1)
@@ -151,7 +192,11 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
     scattering_rgb, _ = tex_sample(3)
 
     if scene.any_vert_colors:
-        if attrs is not None:
+        if isinstance(attrs, InterpAttrs):
+            vert_rgb = attrs.vc
+            vert_a = attrs.vca
+            c0 = None  # already interpolated in-kernel
+        elif attrs is not None:
             c0, a0 = _a_v4(attrs, pk.ATTR_C0)
             c1, a1 = _a_v4(attrs, pk.ATTR_C1)
             c2, a2 = _a_v4(attrs, pk.ATTR_C2)
@@ -163,9 +208,10 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
             a1 = scene.wt_c1[3][t]
             c2 = v3.gather(scene.wt_c2, t)
             a2 = scene.wt_c2[3][t]
-        w = 1.0 - hit.u - hit.v
-        vert_rgb = c0 * w + c1 * hit.u + c2 * hit.v
-        vert_a = _interp(a0, a1, a2, hit.u, hit.v)
+        if c0 is not None:
+            w = 1.0 - hit.u - hit.v
+            vert_rgb = c0 * w + c1 * hit.u + c2 * hit.v
+            vert_a = _interp(a0, a1, a2, hit.u, hit.v)
     else:
         vert_rgb = v3.full(B, 1.0)
         vert_a = jnp.ones(B, jnp.float32)
@@ -227,6 +273,8 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
 def geometric_normal(scene, hit, attrs=None) -> V3:
     """compute_tri_geom_normal (pathtracer.wgsl:2561-2576), baked per-tri."""
 
+    if isinstance(attrs, InterpAttrs):
+        return attrs.gn
     if attrs is not None:
         return _a_v3(attrs, pk.ATTR_GN)
     return v3.gather(scene.wt_gn, hit.tri)
@@ -236,21 +284,32 @@ def compute_shading_normal(scene, hit, attrs=None) -> V3:
     """compute_shading_normal (pathtracer.wgsl:1344-1384): interpolate baked
     world-space vertex normals; optional UV-tangent-frame normal mapping."""
 
-    if attrs is not None:
-        n0 = _a_v3(attrs, pk.ATTR_N0)
-        n1 = _a_v3(attrs, pk.ATTR_N1)
-        n2 = _a_v3(attrs, pk.ATTR_N2)
+    if isinstance(attrs, InterpAttrs):
+        n = v3.normalize(attrs.n)  # interpolated in-kernel
     else:
-        t = hit.tri
-        n0 = v3.gather(scene.wt_n0, t)
-        n1 = v3.gather(scene.wt_n1, t)
-        n2 = v3.gather(scene.wt_n2, t)
-    w = 1.0 - hit.u - hit.v
-    n = v3.normalize(n0 * w + n1 * hit.u + n2 * hit.v)
+        if attrs is not None:
+            n0 = _a_v3(attrs, pk.ATTR_N0)
+            n1 = _a_v3(attrs, pk.ATTR_N1)
+            n2 = _a_v3(attrs, pk.ATTR_N2)
+        else:
+            t = hit.tri
+            n0 = v3.gather(scene.wt_n0, t)
+            n1 = v3.gather(scene.wt_n1, t)
+            n2 = v3.gather(scene.wt_n2, t)
+        w = 1.0 - hit.u - hit.v
+        n = v3.normalize(n0 * w + n1 * hit.u + n2 * hit.v)
 
     if scene.any_normal_maps:  # statically absent without normal maps
         u, v2_, has_uv = hit_texcoords(scene, hit, attrs)
-        if attrs is not None:
+        if isinstance(attrs, InterpAttrs):
+            ntex = jnp.where(
+                has_uv,
+                _sel_by_id(scene.mat_tex[4], attrs.mat_id, scene.num_materials),
+                -1,
+            )
+            tangent = attrs.tan
+            bitangent = attrs.bit
+        elif attrs is not None:
             ntex = jnp.where(
                 has_uv, attrs[pk.ATTR_MAT_TEX.start + 4].astype(jnp.int32), -1
             )

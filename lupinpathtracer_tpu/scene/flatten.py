@@ -67,6 +67,10 @@ class SceneTPU:
     # its override-constant pipeline bake, renderer.rs:451-468).
     present_mat_types: tuple = struct.field(pytree_node=False)
     any_uv: bool = struct.field(pytree_node=False)
+    # Which of the 4 material texture slots (color/emission/roughness/
+    # scattering) any used material binds — statically compiles unused
+    # slots' atlas fetches out of get_material_point.
+    tex_slot_used: tuple = struct.field(pytree_node=False)
     any_vert_normals: bool = struct.field(pytree_node=False)
     any_vert_colors: bool = struct.field(pytree_node=False)
     any_normal_maps: bool = struct.field(pytree_node=False)
@@ -568,8 +572,9 @@ def build_scene_tpu(
         if mesh.colors is not None and float(mesh.colors[:, 3].min()) < 1.0:
             has_alpha = True
 
-    # ---- packed attribute matrix for the dense Pallas kernel ----
-    if not use_bvh and Tw > 0:
+    # ---- packed attribute matrix (dense Pallas kernel's in-kernel fetch;
+    # the BVH wavefront's attr_fetch reads the same rows per superleaf) ----
+    if Tw > 0:
         from ..kernels import pallas_intersect as pk
 
         Tp = wt["v0"].shape[0]
@@ -623,6 +628,17 @@ def build_scene_tpu(
         (int(scene.materials[m].normal_tex_idx) & 0xFFFFFFFF) != 0xFFFFFFFF
         for m in used_mats
     )
+    _slot_fields = (
+        "color_tex_idx", "emission_tex_idx", "roughness_tex_idx",
+        "scattering_tex_idx",
+    )
+    tex_slot_used = tuple(
+        any(
+            (int(getattr(scene.materials[m], f)) & 0xFFFFFFFF) != 0xFFFFFFFF
+            for m in used_mats
+        )
+        for f in _slot_fields
+    )
     vol_types = {int(MT.REFRACTIVE), int(MT.VOLUMETRIC), int(MT.SUBSURFACE)}
     any_vol = bool(vol_types & set(present_types))
     delta_types = {
@@ -670,6 +686,7 @@ def build_scene_tpu(
         instances_empty=ni == 0 or Tw == 0,
         present_mat_types=tuple(present_types),
         any_uv=bool(any_uv),
+        tex_slot_used=tex_slot_used,
         any_vert_normals=bool(any_vn),
         any_vert_colors=bool(any_vc),
         any_normal_maps=bool(any_nm),

@@ -131,3 +131,49 @@ def test_wavefront_single_superleaf(rng):
     np.testing.assert_allclose(
         np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
     )
+
+
+def test_wavefront_attr_fetch_matches_gathers(rng):
+    """wavefront_fetch_attrs (sort + one-hot MXU fetch/interp + unsort) must
+    equal the direct wt-array gather-and-interpolate path for every hit
+    lane; miss lanes are zeroed."""
+
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    assert tpu.use_bvh and tpu.sl_count >= 2
+
+    ro, rd = _random_rays(rng, 512)
+    h = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+    ia = intersect.wavefront_fetch_attrs(tpu, h)
+
+    hit = np.asarray(h.hit)
+    tri = np.asarray(h.tri)[hit]
+    u = np.asarray(h.u)[hit]
+    v = np.asarray(h.v)[hit]
+    w = 1.0 - u - v
+
+    def interp3(tab):
+        return np.stack([np.asarray(tab[c])[tri] for c in range(3)])
+
+    n_ref = (
+        interp3(tpu.wt_n0) * w
+        + interp3(tpu.wt_n1) * u
+        + interp3(tpu.wt_n2) * v
+    )
+    n_got = np.stack([np.asarray(ia.n.x), np.asarray(ia.n.y), np.asarray(ia.n.z)])
+    np.testing.assert_allclose(n_got[:, hit], n_ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ia.gn.x)[hit], np.asarray(tpu.wt_gn)[0][tri], rtol=0, atol=0
+    )
+    tu_ref = (
+        np.asarray(tpu.wt_uv0)[0][tri] * w
+        + np.asarray(tpu.wt_uv1)[0][tri] * u
+        + np.asarray(tpu.wt_uv2)[0][tri] * v
+    )
+    np.testing.assert_allclose(np.asarray(ia.tu)[hit], tu_ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(ia.mat_id)[hit], np.asarray(tpu.wt_mat)[tri]
+    )
+    # Miss lanes zeroed.
+    assert (np.asarray(ia.n.x)[~hit] == 0.0).all()
+    assert (np.asarray(ia.mat_id)[~hit] == 0).all()
