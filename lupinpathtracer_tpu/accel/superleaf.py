@@ -58,6 +58,8 @@ class Superleaves:
     top_rows: int  # real internal rows (<= rows_pad)
     top_root_is_leaf: bool  # single-superleaf scene: no internal rows
     top_depth: int
+    sl_lo: np.ndarray = None  # (n_sl, 3) superleaf AABBs (object space)
+    sl_hi: np.ndarray = None
 
 
 def _bf16_down(x: np.ndarray) -> np.ndarray:
@@ -170,9 +172,8 @@ def build_superleaves(
         hi[j] = bvh.aabb_max[node]
 
     # Top tree over superleaf AABBs.
-    top = build_bvh(lo, hi, max_leaf_size=1)
-    if n_sl == 1:
-        tab = np.zeros((128, TOP_COLS), np.float32)
+    tab, rows, root_is_leaf, depth = build_top_table(lo, hi)
+    if root_is_leaf:
         return Superleaves(
             order=order.astype(np.int32),
             valid=valid,
@@ -184,19 +185,49 @@ def build_superleaves(
             top_rows=0,
             top_root_is_leaf=True,
             top_depth=1,
+            sl_lo=lo,
+            sl_hi=hi,
         )
 
-    # Condense internal nodes into rows; re-index internals densely with the
-    # ROOT at row 0 (BFS order keeps parents before children, not required
-    # but cache-friendly).
+    return Superleaves(
+        order=order.astype(np.int32),
+        valid=valid,
+        bvhpos_to_padded=bvhpos_to_padded.astype(np.int32),
+        sl_count=n_sl,
+        stride=stride,
+        sl_tri_count=counts,
+        top_tab=tab,
+        top_rows=rows,
+        top_root_is_leaf=False,
+        top_depth=depth,
+        sl_lo=lo,
+        sl_hi=hi,
+    )
+
+
+def build_top_table(lo: np.ndarray, hi: np.ndarray):
+    """Condensed top-tree row table over N leaf AABBs.
+
+    Returns (tab (rows_pad, TOP_COLS) f32 with bf16-representable bounds,
+    rows, root_is_leaf, depth). Leaf references encode the index into the
+    given AABB list — superleaf ids for single-level scenes, global
+    (instance x mesh-superleaf) ids for the two-level path."""
+
+    n = lo.shape[0]
+    top = build_bvh(lo, hi, max_leaf_size=1)
+    if n == 1:
+        return np.zeros((128, TOP_COLS), np.float32), 0, True, 1
+
+    # Condense internal nodes into rows; re-index internals densely with
+    # the ROOT at row 0.
     internal = np.nonzero(top.tri_count == 0)[0]
-    row_of = {int(n): i for i, n in enumerate(internal)}
+    row_of = {int(m): i for i, m in enumerate(internal)}
     rows = len(internal)
     tab = np.zeros((rows, TOP_COLS), np.float32)
-    assert row_of.get(0) == 0, "root must be internal for n_sl > 1"
-    for n in internal:
-        i = row_of[int(n)]
-        l = int(top.first_or_begin[n])
+    assert row_of.get(0) == 0, "root must be internal for n > 1"
+    for m in internal:
+        i = row_of[int(m)]
+        l = int(top.first_or_begin[m])
         r = l + 1
         for child, cmin, cmax, cleaf, chi, clo in (
             (l, COL_LMIN, COL_LMAX, COL_L_ISLEAF, COL_L_HI, COL_L_LO),
@@ -205,7 +236,7 @@ def build_superleaves(
             tab[i, cmin] = _bf16_down(top.aabb_min[child])
             tab[i, cmax] = _bf16_up(top.aabb_max[child])
             if top.tri_count[child] > 0:
-                # Leaf: reference = superleaf id (order maps tri slot -> sl).
+                # Leaf: reference = id of the AABB entry.
                 ref = int(top.order[top.first_or_begin[child]])
                 tab[i, cleaf] = 1.0
             else:
@@ -220,16 +251,4 @@ def build_superleaves(
         # Padding rows are never selected (refs only ever point at real
         # rows); boxes stay at 0 -> degenerate.
         tab = np.concatenate([tab, pad], axis=0)
-
-    return Superleaves(
-        order=order.astype(np.int32),
-        valid=valid,
-        bvhpos_to_padded=bvhpos_to_padded.astype(np.int32),
-        sl_count=n_sl,
-        stride=stride,
-        sl_tri_count=counts,
-        top_tab=tab,
-        top_rows=rows,
-        top_root_is_leaf=False,
-        top_depth=top.depth,
-    )
+    return tab, rows, False, top.depth

@@ -112,7 +112,9 @@ def scene_tri_matrix(scene) -> jnp.ndarray:
     (padding rows are degenerate -> det = 0 -> never valid)."""
 
     if scene.use_bvh and scene.sl_count > 0:
-        n = scene.sl_count * scene.sl_stride
+        # Two-level scenes: the soup covers MESH superleaves (instances
+        # share them); single-level: msl_count == sl_count.
+        n = scene.msl_count * scene.sl_stride
     else:
         n = scene.num_world_tris
     return build_tri_matrix(
@@ -558,6 +560,22 @@ class InterpAttrs:
     bit: V3 | None = None
 
 
+def _item_instancing(scene, sl_k):
+    """Per-work-item (mesh superleaf, world->mesh transform, normal matrix,
+    material id) for the two-level path; (sl_k, None, None, None) for
+    single-level scenes (kernels substitute identity). The gathers here are
+    over the tiny work-item table, not the ray batch."""
+
+    if not scene.two_level:
+        return sl_k, None, None, None
+    inst_k = scene.gsl_inst[sl_k]
+    msl_k = scene.gsl_msl[sl_k]
+    txf_k = scene.inst_inv.reshape(-1, 12)[inst_k]
+    nrm_k = scene.inst_normal_mat.reshape(-1, 9)[inst_k]
+    mat_k = scene.inst_mat[inst_k].astype(jnp.int32)
+    return msl_k, txf_k, nrm_k, mat_k
+
+
 def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
     """InterpAttrs for the BVH wavefront path — the analog of the dense
     kernel's in-kernel attr fetch.
@@ -595,11 +613,14 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
     )
 
     blk_k, sl_k, lo_k, hi_k, _ = _wf_work_items(skey, n_sl, PB)
-    A3 = scene.wt_attr[: n_sl * SP].reshape(n_sl, SP, pk.ATTR_WIDTH)
+    msl_k, _, nrm_k, mat_k = _item_instancing(scene, sl_k)
+    A3 = scene.wt_attr[: scene.msl_count * SP].reshape(
+        scene.msl_count, SP, pk.ATTR_WIDTH
+    )
     with_tan = bool(scene.any_normal_maps)
     a = pb.attr_fetch(
-        blk_k, sl_k, lo_k, hi_k, s_li, s_u, s_v, A3,
-        pair_block=PB, with_tangents=with_tan,
+        blk_k, msl_k, lo_k, hi_k, s_li, s_u, s_v, A3,
+        pair_block=PB, with_tangents=with_tan, nrm=nrm_k, mat_ovr=mat_k,
     )  # (IA_ROWS[_NM], Bp) in sorted order
 
     base = jax.lax.sort(
@@ -674,12 +695,13 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     )
 
     blk_k, sl_k, lo_k, hi_k, n_real = _wf_work_items(skey, n_sl, PB)
+    msl_k, txf_k, _, _ = _item_instancing(scene, sl_k)
 
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
     t, u, v, det, gtri = pb.pair_intersect(
         blk_k, sl_k, lo_k, hi_k,
         v3.V3(srox, sroy, sroz), v3.V3(srdx, srdy, srdz),
-        W, eps, SP=SP, pair_block=PB,
+        W, eps, SP=SP, pair_block=PB, msl=msl_k, txf=txf_k,
     )
     t = jnp.where(jnp.arange(QB, dtype=jnp.int32) < n_real, t, F32_MAX)
 
@@ -733,6 +755,10 @@ def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> Hit
     if scene.instances_empty:
         return miss(ro.x.shape)
     if scene.use_bvh:
+        if scene.two_level:
+            # Object-space intersection: hit_backside already carries the
+            # reference's sign convention — no world-transform det fixup.
+            return closest_hit_wavefront(scene, ro, rd, eps, W=W)
         if _use_pallas() and scene.sl_count > 0:
             return _fixup_backside(
                 scene, closest_hit_wavefront(scene, ro, rd, eps, W=W)
@@ -759,7 +785,14 @@ def closest_hit_attrs(
     all per-hit shading gathers. BVH scenes return attrs=None and shade via
     gathers."""
 
-    if scene.instances_empty or not _use_pallas():
+    if scene.instances_empty:
+        return closest_hit(scene, ro, rd, eps, W=W), None
+    if scene.use_bvh and scene.two_level:
+        # Mesh-space soup: the gather fallback has no world-space arrays,
+        # so the wavefront attr kernel runs even in interpret mode.
+        h = closest_hit(scene, ro, rd, eps, W=W)
+        return h, wavefront_fetch_attrs(scene, h)
+    if not _use_pallas():
         return closest_hit(scene, ro, rd, eps, W=W), None
     if scene.use_bvh:
         if scene.sl_count == 0:

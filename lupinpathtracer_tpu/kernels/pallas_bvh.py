@@ -240,7 +240,7 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(blk_ref, sl_ref, lo_ref, hi_ref,
+def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, txf_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref,
                  rdy_ref, rdz_ref, pos_ref, W_ref, eps_ref, t_ref, u_ref,
                  v_ref, det_ref, idx_ref, scr_f_ref, scr_i_ref, *, TB, PB):
@@ -268,6 +268,19 @@ def _pair_kernel(blk_ref, sl_ref, lo_ref, hi_ref,
 
         rox, roy, roz = vec(rox_ref), vec(roy_ref), vec(roz_ref)
         rdx, rdy, rdz = vec(rdx_ref), vec(rdy_ref), vec(rdz_ref)
+        # Per-item instance transform (two-level TLAS->BLAS analog,
+        # bvh_custom.wgsl:30-35): rays move into mesh space; the direction
+        # is NOT normalized so t stays world-scaled. Identity rows for
+        # single-level scenes.
+        m = [txf_ref[k, j] for j in range(12)]
+        tx = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+        ty = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+        tz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+        rox, roy, roz = tx, ty, tz
+        dx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+        dy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+        dz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+        rdx, rdy, rdz = dx, dy, dz
         cx = roy * rdz - roz * rdy
         cy = roz * rdx - rox * rdz
         cz = rox * rdy - roy * rdx
@@ -384,7 +397,8 @@ def _pair_kernel(blk_ref, sl_ref, lo_ref, hi_ref,
         idx_ref[0] = jnp.where(m2, to2d_i(gtri), idx_ref[0])
 
 
-def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256):
+def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
+                   msl=None, txf=None):
     """Work-item pair intersection over superleaf-sorted rays.
 
     blk/sl/lo/hi: (n_items,) i32 work items — ray block id, superleaf id,
@@ -404,6 +418,15 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256):
     TB = min(SP, 512)
     assert SP % TB == 0
     sub = PB // 128
+    if msl is None:
+        msl = sl  # single-level: global superleaf IS the mesh superleaf
+    if txf is None:
+        txf = jnp.tile(
+            jnp.asarray(
+                [1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0], jnp.float32
+            ),
+            (n_items, 1),
+        )
 
     vec = lambda dt: jax.ShapeDtypeStruct((n_pb, sub, 128), dt)
     out_shapes = (
@@ -411,17 +434,17 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256):
         vec(jnp.float32), vec(jnp.int32),
     )
     vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, b, s, l, h: (b[i], 0, 0),
+        (1, sub, 128), lambda i, b, s, ms, l, h, tx: (b[i], 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_items,),
         in_specs=[vec_spec] * 7
         + [
             pl.BlockSpec(
-                (4, 10, SP), lambda i, b, s, l, h: (0, 0, s[i]),
+                (4, 10, SP), lambda i, b, s, ms, l, h, tx: (0, 0, ms[i]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -444,7 +467,7 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256):
             dimension_semantics=("arbitrary",)
         ),
         interpret=jax.default_backend() != "tpu",
-    )(blk, sl, lo, hi,
+    )(blk, sl, msl, lo, hi, txf,
       shape3(ro.x), shape3(ro.y), shape3(ro.z),
       shape3(rd.x), shape3(rd.y), shape3(rd.z),
       shape3(jnp.arange(P, dtype=jnp.int32)),
@@ -479,7 +502,8 @@ IA_BIT = slice(19, 22)
 IA_ROWS_NM = 24
 
 
-def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, li_ref, u_ref, v_ref,
+def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, nrm_ref, ovr_ref,
+                 li_ref, u_ref, v_ref,
                  A_ref, attr_ref, *, PB, AWOUT):
     """One-hot fetch + in-kernel interpolation of winner shading attributes.
 
@@ -550,6 +574,44 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, li_ref, u_ref, v_ref,
             for c in range(3):
                 rows[IA_TAN.start + c] = attrs[pk.ATTR_TAN.start + c]
                 rows[IA_BIT.start + c] = attrs[pk.ATTR_BIT.start + c]
+
+        # Two-level: rotate mesh-space frames into world by the item's
+        # instance normal matrix and override the per-instance material id
+        # (ovr < 0 = single-level, matrix is identity). The rotated
+        # geometric normal is renormalized; shading-normal/tangent
+        # normalization happens at the consumer as in the single-level path.
+        ovr = ovr_ref[k]
+        two_l = ovr >= 0  # scalar marker: only two-level items rotate
+
+        nm = [nrm_ref[k, j] for j in range(9)]
+
+        def rot(sl3, renorm=False):
+            x, y, z = rows[sl3.start], rows[sl3.start + 1], rows[sl3.start + 2]
+            rx = nm[0] * x + nm[1] * y + nm[2] * z
+            ry = nm[3] * x + nm[4] * y + nm[5] * z
+            rz = nm[6] * x + nm[7] * y + nm[8] * z
+            if renorm:
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-30)
+                )
+                # Keep single-level rows bit-exact: no renormalization.
+                one = jnp.ones_like(inv)
+                inv = jnp.where(two_l, inv, one)
+                rx, ry, rz = rx * inv, ry * inv, rz * inv
+            rows[sl3.start] = rx
+            rows[sl3.start + 1] = ry
+            rows[sl3.start + 2] = rz
+
+        rot(IA_N)
+        rot(IA_GN, renorm=True)
+        if AWOUT >= IA_ROWS_NM:
+            rot(IA_TAN)
+            rot(IA_BIT)
+        ovr_f = ovr.astype(jnp.float32)
+        rows[IA_MAT_ID] = jnp.where(
+            ovr >= 0, jnp.full_like(rows[IA_MAT_ID], 0.0) + ovr_f,
+            rows[IA_MAT_ID],
+        )
         zero = jnp.zeros_like(rows[0])
         out = jnp.stack([r if r is not None else zero for r in rows], axis=0)
 
@@ -561,7 +623,7 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, li_ref, u_ref, v_ref,
 
 
 def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
-               with_tangents=False):
+               with_tangents=False, nrm=None, mat_ovr=None):
     """blk/sl/lo/hi: work items as in pair_intersect; li: (P,) i32 local tri
     index per sorted ray; hu/hv: (P,) hit barycentrics; A3: (n_sl, SP, AW)
     packed attribute slices. Returns (IA_ROWS[_NM], P) interpolated
@@ -575,24 +637,33 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
     n_pb = P // PB
     AWOUT = IA_ROWS_NM if with_tangents else IA_ROWS
     sub = PB // 128
+    if nrm is None:
+        nrm = jnp.tile(
+            jnp.asarray(
+                [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], jnp.float32
+            ),
+            (n_items, 1),
+        )
+    if mat_ovr is None:
+        mat_ovr = jnp.full((n_items,), -1, jnp.int32)
 
     vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, b, s, l, h: (b[i], 0, 0),
+        (1, sub, 128), lambda i, b, s, l, h, nr, ov: (b[i], 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_items,),
         in_specs=[
             vec_spec, vec_spec, vec_spec,
             pl.BlockSpec(
                 (1, A3.shape[1], A3.shape[2]),
-                lambda i, b, s, l, h: (s[i], 0, 0),
+                lambda i, b, s, l, h, nr, ov: (s[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, AWOUT, PB), lambda i, b, s, l, h: (b[i], 0, 0),
+            (1, AWOUT, PB), lambda i, b, s, l, h, nr, ov: (b[i], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -604,7 +675,7 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
             dimension_semantics=("arbitrary",)
         ),
         interpret=jax.default_backend() != "tpu",
-    )(blk, sl, lo, hi,
+    )(blk, sl, lo, hi, nrm, mat_ovr,
       li.reshape(n_pb, sub, 128),
       hu.reshape(n_pb, sub, 128), hv.reshape(n_pb, sub, 128),
       A3)

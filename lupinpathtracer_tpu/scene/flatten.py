@@ -55,6 +55,13 @@ class SceneTPU:
     # wavefront traversal kernel (kernels/pallas_bvh.py). Zero when dense.
     sl_count: int = struct.field(pytree_node=False)
     sl_stride: int = struct.field(pytree_node=False)
+    # Two-level (TLAS->BLAS analog): sl_count counts GLOBAL
+    # (instance x mesh-superleaf) entries while the soup/W/attr matrices
+    # cover msl_count MESH superleaves; gsl_* map global -> (instance,
+    # mesh superleaf). Single-level scenes: msl_count == sl_count and the
+    # maps are identity/zero.
+    two_level: bool = struct.field(pytree_node=False)
+    msl_count: int = struct.field(pytree_node=False)
     top_depth: int = struct.field(pytree_node=False)
     top_root_is_leaf: bool = struct.field(pytree_node=False)
     has_alpha: bool = struct.field(pytree_node=False)
@@ -138,6 +145,8 @@ class SceneTPU:
     # Condensed top-tree row table, bf16 (rows_pad, TOP_COLS); (1,1) dummy
     # in dense mode.
     top_tab: jnp.ndarray
+    gsl_inst: jnp.ndarray  # (G,) i32 instance per global superleaf
+    gsl_msl: jnp.ndarray  # (G,) i32 mesh superleaf per global superleaf
 
     # --- materials SoA (component-major) ---
     mat_color: jnp.ndarray  # (4,M)
@@ -200,8 +209,14 @@ def build_scene_tpu(
     dense_max_tris: int = DEFAULT_DENSE_MAX_TRIS,
     bvh_leaf_size: int = 4,
     validate: bool = True,
+    two_level: bool | None = None,
 ) -> SceneTPU:
-    """Flatten + build acceleration structures + move to device."""
+    """Flatten + build acceleration structures + move to device.
+
+    two_level=None auto-enables the TLAS->BLAS analog (mesh-space
+    superleaves shared across instances; see bvh_custom.wgsl:7-110) when
+    instance expansion would multiply triangle memory >=4x; True/False
+    force it. Two-level device memory scales with UNIQUE mesh triangles."""
 
     if validate:
         validate_scene(scene)
@@ -211,6 +226,18 @@ def build_scene_tpu(
     nmat = len(scene.materials)
     ne = len(scene.environments)
     nt = len(scene.textures)
+
+    mesh_tris = [m.indices.shape[0] for m in scene.meshes]
+    exp_tris = sum(mesh_tris[i.mesh_idx] for i in scene.instances)
+    used_mesh_ids = sorted({i.mesh_idx for i in scene.instances})
+    uniq_tris = sum(mesh_tris[m] for m in used_mesh_ids)
+    if two_level is None:
+        two_level = (
+            exp_tris > dense_max_tris
+            and ni > 0
+            and exp_tris >= 4 * max(uniq_tris, 1)
+        )
+    two_level = bool(two_level) and ni > 0 and uniq_tris > 0
 
     # ---- mesh-level concatenation ----
     v_off = np.zeros(nm + 1, np.int64)
@@ -274,7 +301,20 @@ def build_scene_tpu(
             "c0", "c1", "c2", "tan", "bit",
         )
     }
-    for i, inst in enumerate(scene.instances):
+    if two_level:
+        # Mesh-space soup over UNIQUE meshes; instances become per-work-item
+        # ray/normal transforms in the wavefront kernels. Material and
+        # instance columns are per-instance and get overridden there.
+        from .scene import InstanceCPU as _ICPU
+
+        _ident = np.eye(3, 4, dtype=np.float32)
+        soup_iter = [
+            (m, _ICPU(frame=_ident, mesh_idx=m, mat_idx=0))
+            for m in used_mesh_ids
+        ]
+    else:
+        soup_iter = list(enumerate(scene.instances))
+    for i, inst in soup_iter:
         m = scene.meshes[inst.mesh_idx]
         nt_mesh = m.indices.shape[0]
         if nt_mesh == 0:
@@ -455,13 +495,91 @@ def build_scene_tpu(
         ea_cursor += prob.shape[0]
 
     # ---- world BVH + superleaf decomposition ----
-    use_bvh = Tw > dense_max_tris
+    use_bvh = two_level or Tw > dense_max_tris
     sl_count = 0
     sl_stride = 0
+    msl_count = 0
     top_depth = 1
     top_root_is_leaf = False
     top_tab = np.zeros((1, 1), np.float32)
-    if use_bvh and Tw > 0:
+    gsl_inst = np.zeros(1, np.int32)
+    gsl_msl = np.zeros(1, np.int32)
+    if two_level:
+        # Two-level analog of the reference's TLAS->BLAS walk
+        # (bvh_custom.wgsl:7-110; data_structures.rs:545-641): mesh-space
+        # superleaves built ONCE per unique mesh, a condensed top tree over
+        # every (instance x mesh-superleaf) world AABB, and per-work-item
+        # ray transforms in the pair kernel (unnormalized direction keeps t
+        # world-scaled, bvh_custom.wgsl:30-35).
+        from ..accel import superleaf as sl_mod
+
+        stride = sl_mod.pick_stride(Tw)
+        orders, valids = [], []
+        msl_lo_l, msl_hi_l = [], []
+        msl_of_mesh = {}
+        off = 0
+        cursor = 0
+        for m in used_mesh_ids:
+            ntm = mesh_tris[m]
+            if ntm == 0:
+                msl_of_mesh[m] = (cursor, 0)
+                continue
+            lo_m, hi_m = bvh_mod.tri_bounds(
+                wt_v0[off : off + ntm],
+                wt_v0[off : off + ntm] + wt_e1[off : off + ntm],
+                wt_v0[off : off + ntm] + wt_e2[off : off + ntm],
+            )
+            tree_m = bvh_mod.build_bvh(lo_m, hi_m, max_leaf_size=bvh_leaf_size)
+            sls_m = sl_mod.build_superleaves(tree_m, ntm, stride=stride)
+            orders.append(sls_m.order.astype(np.int64) + off)
+            valids.append(sls_m.valid)
+            msl_lo_l.append(sls_m.sl_lo)
+            msl_hi_l.append(sls_m.sl_hi)
+            msl_of_mesh[m] = (cursor, sls_m.sl_count)
+            cursor += sls_m.sl_count
+            off += ntm
+        order = np.concatenate(orders)
+        valid = np.concatenate(valids)
+        for k in wt:
+            wt[k] = wt[k][order]
+        wt["e1"][~valid] = 0.0
+        wt["e2"][~valid] = 0.0
+        msl_count = cursor
+        msl_lo = np.concatenate(msl_lo_l)
+        msl_hi = np.concatenate(msl_hi_l)
+
+        g_inst, g_msl, g_lo, g_hi = [], [], [], []
+        for i, inst in enumerate(scene.instances):
+            o, c = msl_of_mesh[inst.mesh_idx]
+            for j in range(c):
+                wlo, whi = math3d.transform_aabb(
+                    inst.frame, msl_lo[o + j], msl_hi[o + j]
+                )
+                g_inst.append(i)
+                g_msl.append(o + j)
+                g_lo.append(wlo)
+                g_hi.append(whi)
+        G = len(g_inst)
+        # Child references in the condensed table are two 8-bit factors.
+        assert 1 <= G < 65536, (
+            f"two-level top tree: {G} instance-superleaves exceeds the "
+            "row-table reference encoding; raise the stride or shard"
+        )
+        gsl_inst = np.asarray(g_inst, np.int32)
+        gsl_msl = np.asarray(g_msl, np.int32)
+        top_tab, _rows, top_root_is_leaf, top_depth = sl_mod.build_top_table(
+            np.asarray(g_lo, np.float32), np.asarray(g_hi, np.float32)
+        )
+        sl_count = G
+        sl_stride = stride
+        Tw_padded = order.shape[0]
+        # No jnp masked-stack fallback for two-level: placeholders.
+        bvh_min = np.zeros((1, 3), np.float32)
+        bvh_max = np.zeros((1, 3), np.float32)
+        bvh_first = np.zeros(1, np.int32)
+        bvh_count = np.zeros(1, np.int32)
+        bvh_depth = 1
+    elif use_bvh and Tw > 0:
         from ..accel import superleaf as sl_mod
 
         lo, hi = bvh_mod.tri_bounds(wt_v0, wt_v0 + wt_e1, wt_v0 + wt_e2)
@@ -488,6 +606,10 @@ def build_scene_tpu(
         bvh_depth = tree.depth
         sl_count = sls.sl_count
         sl_stride = sls.stride
+        msl_count = sls.sl_count
+        # Identity maps: single-level scenes ARE their own mesh space.
+        gsl_inst = np.zeros(max(sl_count, 1), np.int32)
+        gsl_msl = np.arange(max(sl_count, 1), dtype=np.int32)
         top_depth = sls.top_depth
         top_root_is_leaf = sls.top_root_is_leaf
         top_tab = sls.top_tab
@@ -678,6 +800,8 @@ def build_scene_tpu(
         bvh_leaf_size=int(bvh_leaf_size),
         sl_count=int(sl_count),
         sl_stride=int(sl_stride),
+        two_level=bool(two_level),
+        msl_count=int(msl_count),
         top_depth=int(top_depth),
         top_root_is_leaf=bool(top_root_is_leaf),
         has_alpha=bool(has_alpha),
@@ -731,6 +855,8 @@ def build_scene_tpu(
         bvh_first=dev(bvh_first, np.int32),
         bvh_count=dev(bvh_count, np.int32),
         top_tab=jnp.asarray(top_tab).astype(jnp.bfloat16),
+        gsl_inst=dev(gsl_inst),
+        gsl_msl=dev(gsl_msl),
         mat_color=dev(mat_color.T),
         mat_emission=dev(mat_emission.T),
         mat_scattering=dev(mat_scattering.T),
