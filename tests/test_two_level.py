@@ -190,3 +190,31 @@ def test_two_level_render_matches(both):
     close = np.isclose(img1, img2, rtol=1e-3, atol=1e-3).mean()
     assert close > 0.97, close
     assert img1.mean() > 0.0
+
+
+def test_instances1_two_level_matches(rng):
+    """The reference's instancing test scene (test_scenes/instances1)
+    through the forced two-level path vs the world-soup expansion."""
+
+    import os
+    path = "/root/reference/test_scenes/instances1/instances1.json"
+    if not os.path.exists(path):
+        pytest.skip("reference corpus not available")
+    from lupinpathtracer_tpu.io import yocto_json
+
+    scene, cams = yocto_json.load_scene_yoctogl_v24(path)
+    flat = build_scene_tpu(scene, two_level=False)
+    two = build_scene_tpu(scene, two_level=True)
+    assert two.two_level
+
+    ro, rd = _rays(rng, 256)
+    h1 = intersect.closest_hit(flat, ro, rd, jnp.float32(1e-3))
+    h2 = intersect.closest_hit(two, ro, rd, jnp.float32(1e-3))
+    np.testing.assert_array_equal(np.asarray(h2.hit), np.asarray(h1.hit))
+    m = np.asarray(h1.hit)
+    np.testing.assert_allclose(
+        np.asarray(h2.dst)[m], np.asarray(h1.dst)[m], rtol=5e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h2.backside)[m], np.asarray(h1.backside)[m]
+    )
