@@ -353,6 +353,13 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
         z = jnp.zeros(B, jnp.int32)
         return z, z
     if scene.use_bvh:
+        if scene.two_level:
+            # No masked-stack walk in mesh space; report the wavefront's
+            # worst-case cost model instead: every visited superleaf tests
+            # its full stride. (Heatmap stays useful as a relative view.)
+            h = closest_hit_wavefront(scene, ro, rd, eps)
+            n_tri = jnp.where(h.hit, scene.sl_stride, 0).astype(jnp.int32)
+            return n_tri, jnp.zeros(B, jnp.int32)
         _, (n_tri, n_aabb) = closest_hit_bvh(scene, ro, rd, eps, with_counts=True)
         return n_tri, n_aabb
     n_tri = jnp.full(B, scene.num_world_tris, jnp.int32)

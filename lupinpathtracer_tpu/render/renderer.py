@@ -193,6 +193,25 @@ def pathtrace_scene(
 # ---------------------------------------------------------------------------
 
 
+def _id_of(scene, hit, kind):
+    """Debug-AOV id per hit. Two-level scenes index the mesh-space soup
+    through the global (instance x superleaf) id; world-soup scenes gather
+    the baked per-tri columns directly."""
+
+    if scene.two_level:
+        gsl = hit.tri // scene.sl_stride
+        li = hit.tri % scene.sl_stride
+        inst = scene.gsl_inst[gsl]
+        if kind == "inst":
+            return inst
+        if kind == "mat":
+            return scene.inst_mat[inst]
+        mtri = scene.gsl_msl[gsl] * scene.sl_stride + li
+        return scene.wt_tri[mtri]
+    tab = {"mat": scene.wt_mat, "inst": scene.wt_inst, "tri": scene.wt_tri}[kind]
+    return tab[hit.tri]
+
+
 def _hash_color(idx):
     """hash_color (pathtracer.wgsl:546-573): 3 sequential PCG outputs."""
 
@@ -253,13 +272,13 @@ def _falsecolor_sample(scene, ctx, ro, rd, state, fc_type: int):
     elif fc_type == FalsecolorType.OPACITY:
         col = gray(mp.opacity)
     elif fc_type == FalsecolorType.MAT_TYPE:
-        col = _hash_color(scene.wt_mat[hit.tri])
+        col = _hash_color(_id_of(scene, hit, "mat"))
     elif fc_type == FalsecolorType.IS_DELTA:
         col = gray(is_mat_delta(mp).astype(jnp.float32))
     elif fc_type == FalsecolorType.INSTANCE:
-        col = _hash_color(scene.wt_inst[hit.tri])
+        col = _hash_color(_id_of(scene, hit, "inst"))
     elif fc_type == FalsecolorType.TRI:
-        col = _hash_color(scene.wt_tri[hit.tri])
+        col = _hash_color(_id_of(scene, hit, "tri"))
     else:
         col = v3.zeros(B)
     return v3.where(hit.hit, col, v3.zeros(B)), state
