@@ -194,8 +194,6 @@ def compute_instance_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
     if Wl is None:
         Wl = light_tri_matrix(scene)
     R = intersect.ray_features(pos, incoming)
-    t, _, _, _ = intersect.dense_tuv(R, Wl, eps)
-    valid = t < intersect.F32_MAX
     # Per-tri geometric normal direction n = cross(e1, e2); abs makes the
     # reference's opposite orientation irrelevant (bvh_custom.wgsl:142).
     e1 = v3.from_t3(scene.lt_e1)
@@ -203,16 +201,47 @@ def compute_instance_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
     n = v3.cross(e1, e2)
     n_hat = v3.normalize(n)
     nT = jnp.stack([n_hat.x, n_hat.y, n_hat.z], axis=0)  # (3, Tl)
-    cos_theta = jnp.abs(
-        incoming.x[:, None] * nT[0][None, :]
-        + incoming.y[:, None] * nT[1][None, :]
-        + incoming.z[:, None] * nT[2][None, :]
-    )
     area = scene.light_area[scene.lt_light]  # (Tl,)
-    contrib = jnp.where(
-        valid, (t * t) / jnp.maximum(cos_theta * area[None, :], 1e-20), 0.0
-    )
-    return jnp.sum(contrib, axis=-1)
+
+    def block(Wb, nb, ab):
+        t, _, _, _ = intersect.dense_tuv(R, Wb, eps)
+        valid = t < intersect.F32_MAX
+        cos_theta = jnp.abs(
+            incoming.x[:, None] * nb[0][None, :]
+            + incoming.y[:, None] * nb[1][None, :]
+            + incoming.z[:, None] * nb[2][None, :]
+        )
+        contrib = jnp.where(
+            valid, (t * t) / jnp.maximum(cos_theta * ab[None, :], 1e-20), 0.0
+        )
+        return jnp.sum(contrib, axis=-1)
+
+    # Bound the (B, 4*Tl) all-pairs intermediate: large emissive meshes
+    # (the reference handles any size via its per-light march,
+    # bvh_custom.wgsl:112-152) stream through fixed triangle chunks under
+    # lax.scan — exact sum, O(B x chunk) memory.
+    CH = 4096
+    Tl = Wl.shape[2]
+    if Tl <= CH:
+        return block(Wl, nT, area)
+    pad = (-Tl) % CH
+    if pad:
+        # Padded triangles are degenerate (zero coefficient rows -> det=0,
+        # never valid); pad areas with 1 to keep the division benign.
+        Wl = jnp.pad(Wl, ((0, 0), (0, 0), (0, pad)))
+        nT = jnp.pad(nT, ((0, 0), (0, pad)))
+        area = jnp.pad(area, (0, pad), constant_values=1.0)
+    nch = (Tl + pad) // CH
+
+    def scan_body(acc, xs):
+        Wb, nb, ab = xs
+        return acc + block(Wb, nb, ab), None
+
+    Wc = jnp.moveaxis(Wl.reshape(4, 10, nch, CH), 2, 0)
+    nc = jnp.moveaxis(nT.reshape(3, nch, CH), 1, 0)
+    ac = area.reshape(nch, CH)
+    out, _ = jax.lax.scan(scan_body, jnp.zeros(B, jnp.float32), (Wc, nc, ac))
+    return out
 
 
 def sample_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
