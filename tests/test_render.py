@@ -226,3 +226,37 @@ def test_regen_matches_sequential_spp(cornell, ptype):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
         )
+
+
+def test_sharded_bvh_scene_8dev(rng):
+    """Tile-sharded rendering of a BVH (superleaf wavefront) scene on the
+    full 8-device CPU mesh must match the single-device render — the
+    multi-chip story is not dense-path-only."""
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from tests.test_wavefront import _tri_sphere_scene
+    from lupinpathtracer_tpu.parallel.sharding import (
+        make_tile_mesh,
+        render_progressive_sharded,
+    )
+
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    assert tpu.use_bvh and tpu.sl_count >= 2
+    desc = PathtraceDesc()
+    cam = np.zeros((3, 4), np.float32)
+    cam[:, :3] = np.eye(3)
+    cam[:, 3] = (0.0, 1.5, -6.0)
+    desc.camera_transform = cam
+    desc.pathtrace_type = PathtraceType.NAIVE
+    desc.advanced.max_radiance = 10.0
+    baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
+    single = _render(tpu, desc, w=16, h=16, spp=1, bounces=2, accums=1)
+    sharded = render_progressive_sharded(
+        tpu, desc, baked, width=16, height=16, accumulations=1,
+        mesh=make_tile_mesh(8),
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
