@@ -568,19 +568,20 @@ class InterpAttrs:
 
 
 def _item_instancing(scene, sl_k):
-    """Per-work-item (mesh superleaf, world->mesh transform, normal matrix,
-    material id) for the two-level path; (sl_k, None, None, None) for
-    single-level scenes (kernels substitute identity). The gathers here are
-    over the tiny work-item table, not the ray batch."""
+    """Per-work-item (mesh superleaf, instance index) plus the per-INSTANCE
+    SMEM tables for the two-level path; Nones for single-level scenes
+    (kernels substitute a one-row identity). Per-item data is only the i32
+    index — SMEM is 1MB and a per-item 12-float copy overflows it at large
+    work-item counts."""
 
     if not scene.two_level:
-        return sl_k, None, None, None
+        return sl_k, None, None, None, None
     inst_k = scene.gsl_inst[sl_k]
     msl_k = scene.gsl_msl[sl_k]
-    txf_k = scene.inst_inv.reshape(-1, 12)[inst_k]
-    nrm_k = scene.inst_normal_mat.reshape(-1, 9)[inst_k]
-    mat_k = scene.inst_mat[inst_k].astype(jnp.int32)
-    return msl_k, txf_k, nrm_k, mat_k
+    txf_tab = scene.inst_inv.reshape(-1, 12)
+    nrm_tab = scene.inst_normal_mat.reshape(-1, 9)
+    ovr_tab = scene.inst_mat.astype(jnp.int32)
+    return msl_k, inst_k, txf_tab, nrm_tab, ovr_tab
 
 
 def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
@@ -620,14 +621,15 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
     )
 
     blk_k, sl_k, lo_k, hi_k, _ = _wf_work_items(skey, n_sl, PB)
-    msl_k, _, nrm_k, mat_k = _item_instancing(scene, sl_k)
+    msl_k, inst_k, _, nrm_tab, ovr_tab = _item_instancing(scene, sl_k)
     A3 = scene.wt_attr[: scene.msl_count * SP].reshape(
         scene.msl_count, SP, pk.ATTR_WIDTH
     )
     with_tan = bool(scene.any_normal_maps)
     a = pb.attr_fetch(
         blk_k, msl_k, lo_k, hi_k, s_li, s_u, s_v, A3,
-        pair_block=PB, with_tangents=with_tan, nrm=nrm_k, mat_ovr=mat_k,
+        pair_block=PB, with_tangents=with_tan, inst=inst_k,
+        nrm_tab=nrm_tab, ovr_tab=ovr_tab,
     )  # (IA_ROWS[_NM], Bp) in sorted order
 
     base = jax.lax.sort(
@@ -702,13 +704,14 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     )
 
     blk_k, sl_k, lo_k, hi_k, n_real = _wf_work_items(skey, n_sl, PB)
-    msl_k, txf_k, _, _ = _item_instancing(scene, sl_k)
+    msl_k, inst_k, txf_tab, _, _ = _item_instancing(scene, sl_k)
 
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
     t, u, v, det, gtri = pb.pair_intersect(
         blk_k, sl_k, lo_k, hi_k,
         v3.V3(srox, sroy, sroz), v3.V3(srdx, srdy, srdz),
-        W, eps, SP=SP, pair_block=PB, msl=msl_k, txf=txf_k,
+        W, eps, SP=SP, pair_block=PB, msl=msl_k, inst=inst_k,
+        txf_tab=txf_tab,
     )
     t = jnp.where(jnp.arange(QB, dtype=jnp.int32) < n_real, t, F32_MAX)
 

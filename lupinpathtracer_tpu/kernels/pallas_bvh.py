@@ -240,7 +240,8 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, ray_block=2048):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, txf_ref,
+def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
+                 txf_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref,
                  rdy_ref, rdz_ref, pos_ref, W_ref, eps_ref, t_ref, u_ref,
                  v_ref, det_ref, idx_ref, scr_f_ref, scr_i_ref, *, TB, PB):
@@ -270,9 +271,12 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, txf_ref,
         rdx, rdy, rdz = vec(rdx_ref), vec(rdy_ref), vec(rdz_ref)
         # Per-item instance transform (two-level TLAS->BLAS analog,
         # bvh_custom.wgsl:30-35): rays move into mesh space; the direction
-        # is NOT normalized so t stays world-scaled. Identity rows for
-        # single-level scenes.
-        m = [txf_ref[k, j] for j in range(12)]
+        # is NOT normalized so t stays world-scaled. The transform table is
+        # per-INSTANCE (SMEM is 1MB; a per-item copy overflows it at large
+        # work-item counts) with a per-item index; single-level scenes pass
+        # a one-row identity.
+        inst = inst_ref[k]
+        m = [txf_ref[inst, j] for j in range(12)]
         tx = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
         ty = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
         tz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
@@ -398,7 +402,7 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, txf_ref,
 
 
 def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
-                   msl=None, txf=None):
+                   msl=None, inst=None, txf_tab=None):
     """Work-item pair intersection over superleaf-sorted rays.
 
     blk/sl/lo/hi: (n_items,) i32 work items — ray block id, superleaf id,
@@ -420,12 +424,11 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
     sub = PB // 128
     if msl is None:
         msl = sl  # single-level: global superleaf IS the mesh superleaf
-    if txf is None:
-        txf = jnp.tile(
-            jnp.asarray(
-                [1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0], jnp.float32
-            ),
-            (n_items, 1),
+    if inst is None:
+        inst = jnp.zeros((n_items,), jnp.int32)
+    if txf_tab is None:
+        txf_tab = jnp.asarray(
+            [[1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0]], jnp.float32
         )
 
     vec = lambda dt: jax.ShapeDtypeStruct((n_pb, sub, 128), dt)
@@ -434,17 +437,17 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
         vec(jnp.float32), vec(jnp.int32),
     )
     vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, b, s, ms, l, h, tx: (b[i], 0, 0),
+        (1, sub, 128), lambda i, b, s, ms, l, h, it, tx: (b[i], 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(n_items,),
         in_specs=[vec_spec] * 7
         + [
             pl.BlockSpec(
-                (4, 10, SP), lambda i, b, s, ms, l, h, tx: (0, 0, ms[i]),
+                (4, 10, SP), lambda i, b, s, ms, l, h, it, tx: (0, 0, ms[i]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -467,7 +470,7 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
             dimension_semantics=("arbitrary",)
         ),
         interpret=jax.default_backend() != "tpu",
-    )(blk, sl, msl, lo, hi, txf,
+    )(blk, sl, msl, lo, hi, inst, txf_tab,
       shape3(ro.x), shape3(ro.y), shape3(ro.z),
       shape3(rd.x), shape3(rd.y), shape3(rd.z),
       shape3(jnp.arange(P, dtype=jnp.int32)),
@@ -502,8 +505,8 @@ IA_BIT = slice(19, 22)
 IA_ROWS_NM = 24
 
 
-def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, nrm_ref, ovr_ref,
-                 li_ref, u_ref, v_ref,
+def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, inst_ref, nrm_ref,
+                 ovr_ref, li_ref, u_ref, v_ref,
                  A_ref, attr_ref, *, PB, AWOUT):
     """One-hot fetch + in-kernel interpolation of winner shading attributes.
 
@@ -580,10 +583,11 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, nrm_ref, ovr_ref,
         # (ovr < 0 = single-level, matrix is identity). The rotated
         # geometric normal is renormalized; shading-normal/tangent
         # normalization happens at the consumer as in the single-level path.
-        ovr = ovr_ref[k]
+        inst = inst_ref[k]
+        ovr = ovr_ref[inst]
         two_l = ovr >= 0  # scalar marker: only two-level items rotate
 
-        nm = [nrm_ref[k, j] for j in range(9)]
+        nm = [nrm_ref[inst, j] for j in range(9)]
 
         def rot(sl3, renorm=False):
             x, y, z = rows[sl3.start], rows[sl3.start + 1], rows[sl3.start + 2]
@@ -623,7 +627,7 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, nrm_ref, ovr_ref,
 
 
 def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
-               with_tangents=False, nrm=None, mat_ovr=None):
+               with_tangents=False, inst=None, nrm_tab=None, ovr_tab=None):
     """blk/sl/lo/hi: work items as in pair_intersect; li: (P,) i32 local tri
     index per sorted ray; hu/hv: (P,) hit barycentrics; A3: (n_sl, SP, AW)
     packed attribute slices. Returns (IA_ROWS[_NM], P) interpolated
@@ -637,33 +641,32 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
     n_pb = P // PB
     AWOUT = IA_ROWS_NM if with_tangents else IA_ROWS
     sub = PB // 128
-    if nrm is None:
-        nrm = jnp.tile(
-            jnp.asarray(
-                [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], jnp.float32
-            ),
-            (n_items, 1),
+    if inst is None:
+        inst = jnp.zeros((n_items,), jnp.int32)
+    if nrm_tab is None:
+        nrm_tab = jnp.asarray(
+            [[1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]], jnp.float32
         )
-    if mat_ovr is None:
-        mat_ovr = jnp.full((n_items,), -1, jnp.int32)
+    if ovr_tab is None:
+        ovr_tab = jnp.full((nrm_tab.shape[0],), -1, jnp.int32)
 
     vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, b, s, l, h, nr, ov: (b[i], 0, 0),
+        (1, sub, 128), lambda i, b, s, l, h, it, nr, ov: (b[i], 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(n_items,),
         in_specs=[
             vec_spec, vec_spec, vec_spec,
             pl.BlockSpec(
                 (1, A3.shape[1], A3.shape[2]),
-                lambda i, b, s, l, h, nr, ov: (s[i], 0, 0),
+                lambda i, b, s, l, h, it, nr, ov: (s[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, AWOUT, PB), lambda i, b, s, l, h, nr, ov: (b[i], 0, 0),
+            (1, AWOUT, PB), lambda i, b, s, l, h, it, nr, ov: (b[i], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -675,7 +678,7 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
             dimension_semantics=("arbitrary",)
         ),
         interpret=jax.default_backend() != "tpu",
-    )(blk, sl, lo, hi, nrm, mat_ovr,
+    )(blk, sl, lo, hi, inst, nrm_tab, ovr_tab,
       li.reshape(n_pb, sub, 128),
       hu.reshape(n_pb, sub, 128), hv.reshape(n_pb, sub, 128),
       A3)
