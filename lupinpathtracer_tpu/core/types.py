@@ -158,7 +158,10 @@ class BakedPathtraceParams:
 
     max_bounces: int = 8
     samples_per_pixel: int = 5
-    with_runtime_checks: bool = True  # kept for API parity; no-op under XLA
+    # Dispatch-time scene index/finiteness validation (renderer.rs:487-499).
+    # XLA lane addressing is bounds-safe by construction, so the WGSL
+    # bounds-check toggle maps to this host-side check (once per scene).
+    with_runtime_checks: bool = True
 
 
 @dataclass
@@ -174,7 +177,9 @@ class PathtraceDesc:
     )
     camera_params: CameraParams = field(default_factory=CameraParams)
     pathtrace_type: PathtraceType = PathtraceType.STANDARD
-    force_software_bvh: bool = False  # parity knob; TPU always software
+    # Flips a dense-eligible scene onto the wavefront BVH backend for this
+    # dispatch (renderer.rs:764, :772 — both backends are always built).
+    force_software_bvh: bool = False
     advanced: AdvancedParams = field(default_factory=AdvancedParams)
 
 

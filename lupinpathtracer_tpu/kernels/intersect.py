@@ -377,19 +377,30 @@ WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
 
 
-def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
+def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
     """TPU wavefront replacement for the masked-stack walk: rounds of
     {top-tree traversal -> MXU pair intersection -> per-ray min} until all
     stacks drain (bvh_custom.wgsl:195-288 reimagined for the MXU; see
-    kernels/pallas_bvh.py)."""
+    kernels/pallas_bvh.py).
+
+    `active` (optional (B,) bool) marks lanes whose result is consumed:
+    inactive lanes skip traversal entirely (empty stack -> miss) so a
+    mostly-masked batch costs only the fixed sort floors."""
 
     from . import pallas_bvh as pb
 
     B = ro.x.shape[0]
     SP = scene.sl_stride
     n_sl = scene.sl_count
-    if W is None:
-        W = scene_tri_matrix(scene)
+    need = scene.msl_count * SP
+    if W is None or W.shape[2] != need:
+        # Superleaf tables exist for every scene (both backends are built);
+        # a dense-trimmed W from the caller is rebuilt at the repacked-soup
+        # width the pair kernel's (4, 10, SP) slicing requires. XLA CSEs /
+        # hoists this out of bounce loops.
+        W = build_tri_matrix(
+            scene.wt_v0[:, :need], scene.wt_e1[:, :need], scene.wt_e2[:, :need]
+        )
 
     pad = (-B) % WF_RAY_BLOCK
     Bp = B + pad
@@ -426,6 +437,8 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None):
     S = scene.top_depth + 2
 
     real_lane = jnp.arange(Bp) < B
+    if active is not None:
+        real_lane = real_lane & padv(active, False)
     init = dict(
         stack=jnp.zeros((S, Bp), jnp.int32),  # root ref = row 0
         sp=real_lane.astype(jnp.int32),
@@ -759,21 +772,38 @@ def _fixup_backside(scene, h: HitInfo) -> HitInfo:
     return h.replace(backside=jnp.where(flip, ~h.backside, h.backside))
 
 
-def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> HitInfo:
-    """ray_scene_intersection equivalent (bvh_custom.wgsl:7-110)."""
+def closest_hit(
+    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, active=None
+) -> HitInfo:
+    """ray_scene_intersection equivalent (bvh_custom.wgsl:7-110). `active`
+    masks lanes out of the wavefront traversal (perf only — inactive lanes
+    report miss; other backends ignore it)."""
 
     if scene.instances_empty:
         return miss(ro.x.shape)
+
+    def apply_active(h: HitInfo) -> HitInfo:
+        # Uniform semantics across backends: inactive lanes report miss
+        # (the wavefront skips them entirely; others mask after the fact).
+        if active is None:
+            return h
+        m = miss(ro.x.shape)
+        return jax.tree.map(lambda a, b: jnp.where(active, a, b), h, m)
+
     if scene.use_bvh:
         if scene.two_level:
             # Object-space intersection: hit_backside already carries the
             # reference's sign convention — no world-transform det fixup.
-            return closest_hit_wavefront(scene, ro, rd, eps, W=W)
-        if _use_pallas() and scene.sl_count > 0:
-            return _fixup_backside(
-                scene, closest_hit_wavefront(scene, ro, rd, eps, W=W)
+            return apply_active(
+                closest_hit_wavefront(scene, ro, rd, eps, W=W, active=active)
             )
-        return _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
+        if _use_pallas() and scene.sl_count > 0:
+            return apply_active(_fixup_backside(
+                scene, closest_hit_wavefront(scene, ro, rd, eps, W=W, active=active)
+            ))
+        return apply_active(
+            _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
+        )
     if W is None:
         W = scene_tri_matrix(scene)
     if _use_pallas():
@@ -783,31 +813,33 @@ def closest_hit(scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None) -> Hit
     else:
         t, u, v, det, idx = closest_hit_dense_jnp(W, ro, rd, eps)
     h = HitInfo(hit=t < F32_MAX, dst=t, u=u, v=v, tri=idx, backside=det > 0.0)
-    return _fixup_backside(scene, h)
+    return apply_active(_fixup_backside(scene, h))
 
 
 def closest_hit_attrs(
-    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, alive_count=None
+    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, alive_count=None,
+    active=None,
 ):
     """Dense-mode closest hit returning (HitInfo, attrs (AW, B) or None).
 
     The attrs rows are fetched in-kernel (one-hot MXU select), eliminating
     all per-hit shading gathers. BVH scenes return attrs=None and shade via
-    gathers."""
+    gathers. `active` masks lanes out of wavefront traversal (see
+    closest_hit)."""
 
     if scene.instances_empty:
         return closest_hit(scene, ro, rd, eps, W=W), None
     if scene.use_bvh and scene.two_level:
         # Mesh-space soup: the gather fallback has no world-space arrays,
         # so the wavefront attr kernel runs even in interpret mode.
-        h = closest_hit(scene, ro, rd, eps, W=W)
+        h = closest_hit(scene, ro, rd, eps, W=W, active=active)
         return h, wavefront_fetch_attrs(scene, h)
     if not _use_pallas():
-        return closest_hit(scene, ro, rd, eps, W=W), None
+        return closest_hit(scene, ro, rd, eps, W=W, active=active), None
     if scene.use_bvh:
         if scene.sl_count == 0:
-            return closest_hit(scene, ro, rd, eps, W=W), None
-        h = closest_hit(scene, ro, rd, eps, W=W)
+            return closest_hit(scene, ro, rd, eps, W=W, active=active), None
+        h = closest_hit(scene, ro, rd, eps, W=W, active=active)
         return h, wavefront_fetch_attrs(scene, h)
     from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas
 

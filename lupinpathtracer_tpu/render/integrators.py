@@ -35,6 +35,7 @@ from ..kernels import intersect
 from . import bsdf, lights
 from .materials import (
     compute_shading_normal,
+    get_emission,
     get_material_point,
     is_mat_delta,
     is_mat_volumetric,
@@ -68,13 +69,15 @@ def make_ctx(scene, eps):
 # in pathtrace_spp fills dead lanes instead.
 
 
-def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
+def ray_skip_alpha(scene, ctx, ro, rd, state, mask, active=None):
     """ray_skip_alpha_stochastically (bvh_custom.wgsl:154-180): re-cast
     through lanes whose opacity test fails, accumulating distance. Gated by
-    the static has_alpha flag — opaque scenes pay exactly one intersection."""
+    the static has_alpha flag — opaque scenes pay exactly one intersection.
+    `active` masks lanes out of wavefront traversal entirely; `mask` gates
+    which hit lanes run the stochastic opacity re-cast."""
 
     hit, attrs = intersect.closest_hit_attrs(
-        scene, ro, rd, ctx["eps"], W=ctx["W"]
+        scene, ro, rd, ctx["eps"], W=ctx["W"], active=active
     )
     if not scene.has_alpha:
         return hit, attrs, state
@@ -89,7 +92,7 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask):
 
     def body(c):
         nh, nat = intersect.closest_hit_attrs(
-            scene, V3(*c["ro"]), rd, ctx["eps"], W=ctx["W"]
+            scene, V3(*c["ro"]), rd, ctx["eps"], W=ctx["W"], active=c["recast"]
         )
         recast = c["recast"]
         h = jax.tree.map(lambda a, b: jnp.where(recast, a, b), nh, c["hit"])
@@ -512,12 +515,51 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
     return c["radiance"], c["state"], c["n_bounces"], c["n_traced"]
 
 
+def _v3cat(*vs: V3) -> V3:
+    return V3(*(jnp.concatenate([getattr(v, c) for v in vs]) for c in "xyz"))
+
+
+def _slice_tree(t, lo, hi):
+    """Slice every array leaf of a hit/attrs pytree along its lane axis
+    (1-D leaves and the dense (AW, B) attr matrix both supported)."""
+
+    if t is None:
+        return None
+    return jax.tree.map(
+        lambda a: a[..., lo:hi] if a.ndim == 2 else a[lo:hi], t
+    )
+
+
 def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
-    """Classic 2-strategy MIS (pathtracer.wgsl:737-933). Each non-delta
-    bounce traces two strategy rays (plain closest-hit, no alpha skip —
-    matching the reference's use of ray_scene_intersection there)."""
+    """Classic 2-strategy MIS (pathtracer.wgsl:737-933), restructured so
+    every bounce issues exactly ONE batched trace call.
+
+    The reference reuses the BSDF-strategy intersection as the next bounce's
+    hit (`next_intersection`, pathtracer.wgsl:750-756, :835) — 2 traversals
+    per non-delta bounce, not 3. Here that reuse plus the light-strategy ray
+    are folded into one 3-slot wavefront call per iteration:
+
+      slot A: the continuation ray (the BSDF sample for non-delta surfaces,
+              the delta/phase sample otherwise) — or, for lanes whose path
+              just ended, the respawned camera ray of their next sample;
+      slot B: the light-strategy (NEE) ray;
+      slot C: the BSDF-strategy ray of lanes whose path DIES this bounce
+              (Russian roulette / weight cull / bounce cap) — their direct
+              contribution still counts but slot A now carries the respawn.
+
+    Slot A's hit + attrs ride the loop carry into the next iteration, so no
+    ray is ever traced twice. Inactive slots are masked out of traversal
+    (closest_hit active mask). Per-lane RNG draw order is unchanged from
+    the 3-call formulation, so opaque-scene results are bit-identical."""
 
     B = ro.x.shape[0]
+    types = scene.present_mat_types
+
+    # Prologue: camera-ray hit for bounce 0 (alpha-skipped, as the
+    # reference's top-of-loop fresh trace).
+    alive0 = jnp.ones(B, bool)
+    hit0, attrs0, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive0)
+    has_attrs = attrs0 is not None
 
     init = dict(
         bounce=jnp.int32(0) if regen is None else jnp.zeros(B, jnp.int32),
@@ -526,14 +568,16 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         state=state,
         weight=v3.full(B, 1.0),
         radiance=v3.zeros(B),
-        alive=jnp.ones(B, bool),
+        alive=alive0,
+        hit=hit0,
+        attrs=attrs0 if has_attrs else jnp.zeros((1,), jnp.float32),
         vol_den=v3.zeros(B),
         vol_sca=v3.zeros(B),
         vol_aniso=jnp.zeros(B, jnp.float32),
         vol_len=jnp.zeros(B, jnp.int32),
         next_emission=jnp.ones(B, bool),
         n_bounces=jnp.zeros(B, jnp.int32),
-        n_traced=jnp.zeros(B, jnp.int32),
+        n_traced=jnp.full(B, 1, jnp.int32),
     )
     if regen is not None:
         init["sample_idx"] = jnp.zeros(B, jnp.int32)
@@ -550,14 +594,8 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         weight, radiance = c["weight"], c["radiance"]
         state = c["state"]
         next_emission = c["next_emission"]
-        types = scene.present_mat_types
-
-        n_traced = c["n_traced"] + alive.astype(jnp.int32)
-        # Alpha skip applies only when the previous bounce requested a fresh
-        # emission-carrying ray (pathtracer.wgsl:751-756).
-        hit, attrs, state = ray_skip_alpha(
-            scene, ctx, ro, rd, state, alive & next_emission
-        )
+        hit = c["hit"]
+        attrs = c["attrs"] if has_attrs else None
 
         miss_m = alive & ~hit.hit
         if not scene.envs_empty:
@@ -584,7 +622,7 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         nd = surf & ~delta
         dl = surf & delta
 
-        # --- MIS direct lighting: strategy 0 = BSDF, strategy 1 = light ---
+        # --- MIS strategy directions + gates (no traces yet) ---
         state, rnl = rng_mod.next_f32(state)
         state, rx, ry = rng_mod.next_vec2(state)
         bdir = bsdf.sample_bsdfcos(mp, normal, outgoing, rnl, rx, ry, types)
@@ -592,9 +630,11 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         b_ok = v3.any_nonzero(bdir)
         l_ok = v3.any_nonzero(ldir)
 
-        def strategy(mdir, is_light, active):
+        def strategy_terms(mdir, is_light, active):
             f = bsdf.eval_bsdfcos(mp, normal, outgoing, mdir, types)
-            lp = lights.sample_lights_pdf(scene, pos_surf, mdir, ctx["eps"], ctx["Wl"])
+            lp = lights.sample_lights_pdf(
+                scene, pos_surf, mdir, ctx["eps"], ctx["Wl"]
+            )
             bp = bsdf.sample_bsdfcos_pdf(mp, normal, outgoing, mdir, types)
             if is_light:
                 mw = bsdf.mis_heuristic(lp, bp) / jnp.maximum(lp, 1e-30)
@@ -603,23 +643,14 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
             # Reference gate: all(bsdfcos != 0) && mis_weight != 0
             # (pathtracer.wgsl:790).
             go = active & v3.all_nonzero(f) & (mw != 0.0)
-            mhit, mattrs = intersect.closest_hit_attrs(
-                scene, pos_surf, mdir, ctx["eps"], W=ctx["W"],
-            )
-            em = get_material_point(scene, mhit, mattrs).emission
-            if not scene.envs_empty:
-                em = v3.where(mhit.hit, em, lights.sample_environments(scene, mdir))
-            else:
-                em = v3.where(mhit.hit, em, v3.zeros(B))
-            contrib = v3.nan_to_zero(weight * f * em * mw)
-            return v3.where(go, contrib, v3.zeros(B))
+            return f, mw, go
 
-        n_traced = n_traced + (nd & b_ok).astype(jnp.int32)
-        radiance = radiance + strategy(bdir, False, nd & b_ok)
+        # weight BEFORE the indirect factor feeds the strategy contributions.
+        weight_pre = weight
+        f_b, mw_b, go_b = strategy_terms(bdir, False, nd & b_ok)
         # Reference break semantics: a zero BSDF sample skips the light
         # strategy too (pathtracer.wgsl:775).
-        n_traced = n_traced + (nd & b_ok & l_ok).astype(jnp.int32)
-        radiance = radiance + strategy(ldir, True, nd & b_ok & l_ok)
+        f_l, mw_l, go_l = strategy_terms(ldir, True, nd & b_ok & l_ok)
 
         # Indirect continuation along the BSDF sample (pathtracer.wgsl:855-858).
         alive = alive & ~(nd & ~b_ok)
@@ -677,8 +708,8 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
             next_emission = jnp.where(in_volume, True, next_emission)
 
         new_ro = v3.where(in_volume, pos_vol, pos_surf)
-        ro = v3.where(alive, new_ro, ro)
-        rd = v3.where(alive, incoming, rd)
+        ro_cont = v3.where(alive, new_ro, ro)
+        rd_cont = v3.where(alive, incoming, rd)
 
         alive = alive & ~v3.all_zero(weight) & v3.is_finite(weight)
 
@@ -692,29 +723,113 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
             weight,
         )
 
+        # --- path-end bookkeeping BEFORE the combined trace: lanes whose
+        # path ends this bounce give slot A to their next sample's camera
+        # ray; their BSDF-strategy ray moves to slot C ---
+        entry_alive = c["alive"]
+        bounce_next = c["bounce"] + 1
+        done = entry_alive & (~alive | (bounce_next > max_bounces))
+        if regen is not None:
+            sample_idx = c["sample_idx"] + done.astype(jnp.int32)
+            spawn = done & (sample_idx < regen["spp"])
+            st_new = rng_mod.init_state(
+                regen["pixel_idx"], regen["accum_counter"], regen["rng_seed"],
+                sample_idx + regen["sample_offset"],
+            )
+            st_new, ro_n, rd_n = _camera_ray_from(regen, st_new)
+            ro_a = v3.where(spawn, ro_n, ro_cont)
+            rd_a = v3.where(spawn, rd_n, rd_cont)
+            state_a = jnp.where(spawn, st_new, state)
+            ne_a = jnp.where(spawn, True, next_emission)
+            alive_next = (alive & ~done) | spawn
+        else:
+            spawn = jnp.zeros(B, bool)
+            ro_a, rd_a, state_a, ne_a = ro_cont, rd_cont, state, next_emission
+            alive_next = alive & ~done & (bounce_next <= max_bounces)
+
+        active_a = alive_next
+        active_b = go_l
+        active_c = go_b & done
+
+        # --- ONE combined trace: [continuation/respawn | NEE | dying-BSDF].
+        # Only slot-A fresh-emission lanes run the stochastic alpha skip
+        # (strategy rays use plain intersection, pathtracer.wgsl:835).
+        ro3 = _v3cat(ro_a, pos_surf, pos_surf)
+        rd3 = _v3cat(rd_a, ldir, bdir)
+        z = jnp.zeros(B, bool)
+        mask3 = jnp.concatenate([active_a & ne_a, z, z])
+        active3 = jnp.concatenate([active_a, active_b, active_c])
+        state3 = jnp.concatenate([state_a, state_a, state_a])
+        hit3, attrs3, state3 = ray_skip_alpha(
+            scene, ctx, ro3, rd3, state3, mask3, active=active3
+        )
+        state_a = state3[:B]
+        hit_a = _slice_tree(hit3, 0, B)
+        hit_b = _slice_tree(hit3, B, 2 * B)
+        hit_c = _slice_tree(hit3, 2 * B, 3 * B)
+        attrs_a = _slice_tree(attrs3, 0, B)
+        attrs_b = _slice_tree(attrs3, B, 2 * B)
+        attrs_c = _slice_tree(attrs3, 2 * B, 3 * B)
+
+        n_traced = (
+            c["n_traced"]
+            + active_a.astype(jnp.int32)
+            + active_b.astype(jnp.int32)
+            + active_c.astype(jnp.int32)
+        )
+
+        # --- strategy contributions (emission at the strategy hits) ---
+        def strat_contrib(mdir, mhit, mattrs, f, mw, go):
+            em = get_emission(scene, mhit, mattrs)
+            if not scene.envs_empty:
+                em = v3.where(mhit.hit, em, lights.sample_environments(scene, mdir))
+            else:
+                em = v3.where(mhit.hit, em, v3.zeros(B))
+            contrib = v3.nan_to_zero(weight_pre * f * em * mw)
+            return v3.where(go, contrib, v3.zeros(B))
+
+        # The BSDF strategy's hit is slot A for surviving lanes (it IS the
+        # next bounce), slot C for dying ones.
+        bhit = jax.tree.map(lambda a_, c_: jnp.where(done, c_, a_), hit_a, hit_c)
+        if has_attrs:
+            battrs = jax.tree.map(
+                lambda a_, c_: jnp.where(
+                    done[None, :] if a_.ndim == 2 else done, c_, a_
+                ),
+                attrs_a, attrs_c,
+            )
+        else:
+            battrs = None
+        radiance = radiance + strat_contrib(bdir, bhit, battrs, f_b, mw_b, go_b)
+        radiance = radiance + strat_contrib(ldir, hit_b, attrs_b, f_l, mw_l, go_l)
+
         out = dict(
-            bounce=c["bounce"] + 1,
-            ro=ro,
-            rd=rd,
-            state=state,
+            bounce=bounce_next if regen is None else jnp.where(spawn, 0, bounce_next),
+            ro=ro_a,
+            rd=rd_a,
+            state=state_a,
             weight=weight,
             radiance=radiance,
-            alive=alive,
+            alive=alive_next,
+            hit=hit_a,
+            attrs=attrs_a if has_attrs else c["attrs"],
             vol_den=vol_den,
             vol_sca=vol_sca,
             vol_aniso=vol_aniso,
             vol_len=vol_len,
-            next_emission=next_emission,
+            next_emission=ne_a,
             n_bounces=n_bounces,
             n_traced=n_traced,
         )
         if regen is not None:
-            out.update(
-                _respawn(
-                    regen, c, max_bounces, alive, ro, rd, state, weight,
-                    radiance, next_emission, vol_len,
-                )
+            acc = c["acc"] + v3.where(
+                done, clamp_radiance(radiance, regen["max_radiance"]), v3.zeros(B)
             )
+            out["sample_idx"] = sample_idx
+            out["acc"] = acc
+            out["weight"] = v3.where(spawn, v3.full(B, 1.0), weight)
+            out["radiance"] = v3.where(spawn, v3.zeros(B), radiance)
+            out["vol_len"] = jnp.where(spawn, 0, vol_len)
         return out
 
     c = jax.lax.while_loop(cond, body, init)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..core import rng as rng_mod
 from ..core import vec3 as v3
 from ..core.rng import PI
+from ..core.tables import sel_by_id
 from ..core.vec3 import V3
 from ..kernels import intersect
 from ..kernels.texture import sample_texture
@@ -28,13 +29,14 @@ from ..kernels.texture import sample_texture
 
 def _alias_pick(offset, size, thresh_arr, alias_arr, r_bin, r_thresh):
     """Batched alias-table sample: bin index within [0, size) then threshold
-    test (pathtracer.wgsl:2610-2638)."""
+    test (pathtracer.wgsl:2610-2638). Small concatenated tables (mesh
+    lights) resolve by select-chain instead of lane gathers."""
 
     size_f = size.astype(jnp.float32)
     idx = jnp.minimum((r_bin * size_f).astype(jnp.int32), size - 1)
     gi = offset + idx
-    take_alias = r_thresh >= thresh_arr[gi]
-    return jnp.where(take_alias, alias_arr[gi], idx)
+    take_alias = r_thresh >= sel_by_id(thresh_arr, gi)
+    return jnp.where(take_alias, sel_by_id(alias_arr, gi), idx)
 
 
 def env_dir_to_uv(scene, e: int, d: V3):
@@ -113,18 +115,22 @@ def sample_lights(scene, pos: V3, outgoing: V3, state):
 
     if num_lights > 0:
         li = jnp.clip(pick, 0, num_lights - 1)
-        off = scene.light_alias_offset[li]
-        size = scene.light_alias_size[li]
+        off = sel_by_id(scene.light_alias_offset, li)
+        size = sel_by_id(scene.light_alias_size, li)
         tri = _alias_pick(off, size, scene.la_thresh, scene.la_alias, r_bin, r_thr)
         # Uniform triangle uv (pathtracer.wgsl:1672-1676) reusing (ra, rb).
         s = jnp.sqrt(ra)
         tu = 1.0 - s
         tv = rb * s
-        gt = scene.light_tri_offset[li] + tri
+        gt = sel_by_id(scene.light_tri_offset, li) + tri
+
+        def fetch(tab3):
+            return V3(*(sel_by_id(tab3[c], gt) for c in range(3)))
+
         p = (
-            v3.gather(scene.lt_v0, gt)
-            + v3.gather(scene.lt_e1, gt) * tu
-            + v3.gather(scene.lt_e2, gt) * tv
+            fetch(scene.lt_v0)
+            + fetch(scene.lt_e1) * tu
+            + fetch(scene.lt_e2) * tv
         )
         mesh_dir = v3.normalize(p - pos)
         out = v3.where(pick < num_lights, mesh_dir, out)

@@ -63,17 +63,7 @@ def _a_v4(attrs, sl):
     )
 
 
-def _sel_by_id(tab, idx, n):
-    """tab[idx] for a tiny static-length table, as a fused select-chain —
-    XLA TPU lane gathers cost ~4 ms at 131k lanes regardless of table size,
-    while n static selects are free VPU work."""
-
-    if n > 64:
-        return tab[idx]
-    out = jnp.broadcast_to(tab[0], idx.shape)
-    for m in range(1, n):
-        out = jnp.where(idx == m, tab[m], out)
-    return out
+from ..core.tables import sel_by_id as _sel_by_id  # noqa: E402 (shared helper)
 
 
 def hit_texcoords(scene, hit, attrs=None):
@@ -268,6 +258,23 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
         sc_anisotropy=mf["aniso"],
         tr_depth=tr_depth,
     )
+
+
+def get_emission(scene, hit, attrs=None) -> V3:
+    """Emission of a hit only — bit-identical to
+    get_material_point(...).emission (emission texture x material emission,
+    pathtracer.wgsl:1290-1295) without evaluating the other fields. Used for
+    MIS/NEE strategy rays, which consume nothing else."""
+
+    mf = _mat_fields(scene, hit, attrs)
+    B = hit.u.shape[0]
+    use_tex = scene.num_textures > 0 and scene.any_uv
+    if not use_tex or not scene.tex_slot_used[1]:
+        return mf["emission"]
+    u, v, has_uv = hit_texcoords(scene, hit, attrs)
+    ti = jnp.where(has_uv, mf["tex"][1], -1)
+    emission_rgb, _ = sample_texture(scene, ti, u, v)
+    return emission_rgb * mf["emission"]
 
 
 def geometric_normal(scene, hit, attrs=None) -> V3:

@@ -161,6 +161,58 @@ def _render_pathtrace(
     )
 
 
+def _select_backend(scene, desc: PathtraceDesc):
+    """Per-dispatch traversal-backend selection (renderer.rs:764, :772).
+
+    Both backends are built at flatten time (flatten.py builds superleaf
+    tables for every scene with triangles); `force_software_bvh` flips a
+    dense-eligible scene onto the wavefront BVH path — the same testing
+    hook the reference uses to exercise its software traversal on
+    RT-capable hardware. `use_bvh` is a static pytree field, so the flip
+    selects a different cached executable, mirroring the reference's
+    per-dispatch pipeline pick."""
+
+    if desc.force_software_bvh and not scene.use_bvh and scene.sl_count > 0:
+        return scene.replace(use_bvh=True)
+    return scene
+
+
+def _runtime_checks(scene, baked: BakedPathtraceParams):
+    """BakedPathtraceParams.with_runtime_checks (renderer.rs:487-499).
+
+    XLA has no unchecked-memory mode (lane gathers clamp, scatters drop by
+    construction), so the reference's WGSL bounds-checking toggle maps to
+    the one runtime check that exists here: dispatch-time validation of the
+    flattened scene's index tables (once per scene object)."""
+
+    if not baked.with_runtime_checks:
+        return
+    key = id(scene)
+    if key in _VALIDATED_SCENES:
+        return
+    import numpy as _np
+
+    checks = {
+        "wt_mat": (int(jnp.max(scene.wt_mat)), max(scene.num_materials, 1)),
+        "wt_inst": (int(jnp.max(scene.wt_inst)), max(scene.num_instances, 1)),
+        "mat_tex": (int(jnp.max(scene.mat_tex)), max(scene.num_textures, 1)),
+        "gsl_msl": (int(jnp.max(scene.gsl_msl)), max(scene.msl_count, 1)),
+        "lt_light": (int(jnp.max(scene.lt_light)), max(scene.num_lights, 1)),
+    }
+    for name, (mx, n) in checks.items():
+        if mx >= n:
+            raise ValueError(
+                f"scene validation: {name} max index {mx} out of range {n}"
+            )
+    assert bool(_np.isfinite(_np.asarray(scene.mat_color)).all()), (
+        "scene validation: non-finite material colors"
+    )
+    _VALIDATED_SCENES.add(key)
+
+
+_VALIDATED_SCENES: set = set()
+
+
 def pathtrace_scene(
     scene, image, desc: PathtraceDesc, baked: BakedPathtraceParams
 ):
@@ -168,6 +220,8 @@ def pathtrace_scene(
     (renderer.rs:768-842). Returns the new image; the input buffer is
     donated (the double-buffer flip is the caller rebinding names)."""
 
+    _runtime_checks(scene, baked)
+    scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
     return _render_pathtrace(
         scene,
@@ -348,6 +402,8 @@ def pathtrace_scene_falsecolor(
     baked: BakedPathtraceParams,
     falsecolor_type: FalsecolorType,
 ):
+    _runtime_checks(scene, baked)
+    scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
     return _render_falsecolor(
         scene,
@@ -501,6 +557,8 @@ def pathtrace_scene_debug(
     heatmap_min: float = 0.0,
     heatmap_max: float = 10.0,
 ):
+    _runtime_checks(scene, baked)
+    scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
     return _render_debug(
         scene,

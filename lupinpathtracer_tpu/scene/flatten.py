@@ -579,7 +579,12 @@ def build_scene_tpu(
         bvh_first = np.zeros(1, np.int32)
         bvh_count = np.zeros(1, np.int32)
         bvh_depth = 1
-    elif use_bvh and Tw > 0:
+    elif Tw > 0:
+        # Superleaf tables are built for EVERY single-level scene — dense
+        # scenes included — so both traversal backends exist and
+        # PathtraceDesc.force_software_bvh can flip per dispatch, matching
+        # the reference's build_sw_and_hw + per-dispatch pipeline selection
+        # (data_structures.rs:694-699, renderer.rs:764, :772).
         from ..accel import superleaf as sl_mod
 
         lo, hi = bvh_mod.tri_bounds(wt_v0, wt_v0 + wt_e1, wt_v0 + wt_e2)

@@ -260,3 +260,36 @@ def test_sharded_bvh_scene_8dev(rng):
         mesh=make_tile_mesh(8),
     )
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_force_software_bvh_backend_flip(cornell):
+    """PathtraceDesc.force_software_bvh flips a dense-eligible scene onto
+    the wavefront BVH backend per dispatch (renderer.rs:764, :772) — both
+    backends exist for every scene and agree on the image."""
+
+    tpu, desc = cornell
+    assert not tpu.use_bvh and tpu.sl_count > 0  # both backends built
+    desc.pathtrace_type = PathtraceType.NAIVE
+    desc.force_software_bvh = False
+    dense = _render(tpu, desc, w=16, h=16, spp=2, bounces=3)
+    desc.force_software_bvh = True
+    bvh = _render(tpu, desc, w=16, h=16, spp=2, bounces=3)
+    desc.force_software_bvh = False
+    assert np.isfinite(bvh).all()
+    # Same RNG streams, same intersections -> same image (tolerance covers
+    # closest-hit tie-breaks on shared quad edges).
+    mismatch = np.abs(dense - bvh) > 1e-3
+    assert mismatch.mean() < 0.02, mismatch.mean()
+
+
+def test_runtime_checks_catch_bad_indices(cornell):
+    """with_runtime_checks=True validates the flattened index tables at
+    dispatch (the XLA analog of the reference's WGSL bounds checking,
+    renderer.rs:487-499)."""
+
+    tpu, desc = cornell
+    bad = tpu.replace(wt_mat=jnp.full_like(tpu.wt_mat, 10_000))
+    baked = BakedPathtraceParams(max_bounces=1, samples_per_pixel=1)
+    img = renderer.new_accumulation_buffer(8, 8)
+    with pytest.raises(ValueError):
+        renderer.pathtrace_scene(bad, img, desc, baked)
