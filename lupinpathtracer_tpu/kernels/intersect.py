@@ -353,13 +353,17 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
         z = jnp.zeros(B, jnp.int32)
         return z, z
     if scene.use_bvh:
-        if scene.two_level:
-            # No masked-stack walk in mesh space; report the wavefront's
-            # worst-case cost model instead: every visited superleaf tests
-            # its full stride. (Heatmap stays useful as a relative view.)
-            h = closest_hit_wavefront(scene, ro, rd, eps)
-            n_tri = jnp.where(h.hit, scene.sl_stride, 0).astype(jnp.int32)
-            return n_tri, jnp.zeros(B, jnp.int32)
+        if scene.two_level or (_use_pallas() and scene.sl_count > 0):
+            # Real wavefront counters (RAY_DEBUG_INFO analog,
+            # pathtracer.wgsl:2945-2951): n_tri = triangles actually
+            # evaluated by the MXU pair kernel for this ray (visited
+            # superleaves x stride), n_aabb = top-tree slab tests. Same
+            # semantics as the masked-stack walk's counters — both report
+            # the tests their backend truly performs.
+            _, (n_tri, n_aabb) = closest_hit_wavefront(
+                scene, ro, rd, eps, with_counts=True
+            )
+            return n_tri, n_aabb
         _, (n_tri, n_aabb) = closest_hit_bvh(scene, ro, rd, eps, with_counts=True)
         return n_tri, n_aabb
     n_tri = jnp.full(B, scene.num_world_tris, jnp.int32)
@@ -377,7 +381,9 @@ WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
 
 
-def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
+def closest_hit_wavefront(
+    scene, ro: V3, rd: V3, eps, W=None, active=None, with_counts: bool = False
+):
     """TPU wavefront replacement for the masked-stack walk: rounds of
     {top-tree traversal -> MXU pair intersection -> per-ray min} until all
     stacks drain (bvh_custom.wgsl:195-288 reimagined for the MXU; see
@@ -430,9 +436,12 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
             pro, prd, W, eps, SP=SP, pair_block=PB,
         )
         t, u, v, det, li = (a[:B] for a in (t, u, v, det, li))
-        return HitInfo(
+        h = HitInfo(
             hit=t < F32_MAX, dst=t, u=u, v=v, tri=li, backside=det > 0.0
         )
+        if with_counts:
+            return h, (jnp.full(B, SP, jnp.int32), jnp.zeros(B, jnp.int32))
+        return h
 
     S = scene.top_depth + 2
 
@@ -448,6 +457,9 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
         best_det=jnp.zeros(Bp, jnp.float32),
         best_tri=jnp.zeros(Bp, jnp.int32),
     )
+    if with_counts:
+        init["n_tri"] = jnp.zeros(Bp, jnp.int32)
+        init["n_aabb"] = jnp.zeros(Bp, jnp.int32)
 
     def full_round(c):
         return _wf_round(scene, W, eps, rop, rdp, c, S=S, PB=PB)
@@ -480,21 +492,16 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
 
         ro_c = v3.V3(rop.x[idx], rop.y[idx], rop.z[idx])
         rd_c = v3.V3(rdp.x[idx], rdp.y[idx], rdp.z[idx])
-        cc = dict(
-            stack=c["stack"][:, idx],
-            sp=jnp.where(valid, c["sp"][idx], 0),
-            best_t=c["best_t"][idx],
-            best_u=c["best_u"][idx],
-            best_v=c["best_v"][idx],
-            best_det=c["best_det"][idx],
-            best_tri=c["best_tri"][idx],
-        )
+        keys_1d = [k for k in c if k != "stack"]
+        cc = {k: c[k][idx] for k in keys_1d}
+        cc["sp"] = jnp.where(valid, cc["sp"], 0)
+        cc["stack"] = c["stack"][:, idx]
         cc = _wf_round(scene, W, eps, ro_c, rd_c, cc, S=S, PB=PB)
 
         back = jnp.where(valid, idx, Bp)  # invalid slots dropped
         out = dict(c)
         out["stack"] = c["stack"].at[:, back].set(cc["stack"], mode="drop")
-        for k in ("sp", "best_t", "best_u", "best_v", "best_det", "best_tri"):
+        for k in keys_1d:
             out[k] = c[k].at[back].set(cc[k], mode="drop")
         return out
 
@@ -502,7 +509,7 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
         lambda c: jnp.any(c["sp"] > 0), tail_round, c
     )
     t = c["best_t"][:B]
-    return HitInfo(
+    h = HitInfo(
         hit=t < F32_MAX,
         dst=t,
         u=c["best_u"][:B],
@@ -510,9 +517,12 @@ def closest_hit_wavefront(scene, ro: V3, rd: V3, eps, W=None, active=None):
         tri=jnp.maximum(c["best_tri"][:B], 0),
         backside=c["best_det"][:B] > 0.0,
     )
+    if with_counts:
+        return h, (c["n_tri"][:B], c["n_aabb"][:B])
+    return h
 
 
-def _wf_work_items(skey, n_sl, PB):
+def _wf_work_items(skey, n_sl, PB, cnt_sl=None):
     """Work-item table from superleaf-sorted keys (empties keyed n_sl).
 
     Superleaf s covers sorted positions [seg_start[s], seg_start[s+1]) =
@@ -520,17 +530,25 @@ def _wf_work_items(skey, n_sl, PB):
     Returns (blk, sl, lo, hi, n_real): block-monotone items sized to the
     static cap n_blocks + n_sl, with invalid tail items repeating the last
     valid block/superleaf (kernels skip them via lo == hi, and repeating
-    the ids keeps resident blocks unchanged so write-back is idempotent)."""
+    the ids keeps resident blocks unchanged so write-back is idempotent).
+
+    `cnt_sl` (>= n_sl,) — the per-superleaf demand histogram, produced for
+    free by the top-traverse kernel — turns seg_start into a tiny cumsum;
+    without it, compare_all searchsorted (the O(QB log QB) method="sort"
+    merge costs 9-16 ms per round at QB = 1M)."""
 
     P = skey.shape[0]
     n_pb = P // PB
-    # seg_start[s] = first sorted position with key >= s. method="sort"
-    # merges the probes into the sorted keys (~one extra cheap sort) — the
-    # default bisection pays 19 serial gather rounds.
-    qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(
-        skey, qs, side="left", method="sort"
-    ).astype(jnp.int32)
+    if cnt_sl is not None:
+        seg_start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_sl[:n_sl])]
+        ).astype(jnp.int32)
+    else:
+        # seg_start[s] = first sorted position with key >= s.
+        qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
+        seg_start = jnp.searchsorted(
+            skey, qs, side="left", method="compare_all"
+        ).astype(jnp.int32)
     cnt_sl = seg_start[1:] - seg_start[:-1]  # (n_sl,)
     n_real = seg_start[n_sl]
 
@@ -701,9 +719,9 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     QB = WF_Q * Bp
     n_pb = QB // PB
 
-    sl, cnt, stack, sp = pb.top_traverse(
+    sl, cnt, stack, sp, cnt_sl, aabb = pb.top_traverse(
         scene.top_tab, rop, rdp, c["best_t"], c["stack"], c["sp"],
-        S=S, Q=WF_Q,
+        S=S, Q=WF_Q, n_sl=n_sl,
     )
     # ---- group by superleaf: one sort carrying the rays (empties last) ----
     pair_sl = sl.reshape(-1)  # (QB,) q-major: slot q*Bp + r holds ray r
@@ -716,7 +734,7 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
         num_keys=1,
     )
 
-    blk_k, sl_k, lo_k, hi_k, n_real = _wf_work_items(skey, n_sl, PB)
+    blk_k, sl_k, lo_k, hi_k, n_real = _wf_work_items(skey, n_sl, PB, cnt_sl)
     msl_k, inst_k, txf_tab, _, _ = _item_instancing(scene, sl_k)
 
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
@@ -749,7 +767,7 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
         bv = jnp.where(wn, v_q[q], bv)
         bdet = jnp.where(wn, det_q[q], bdet)
         btri = jnp.where(wn, tri_q[q], btri)
-    return dict(
+    out = dict(
         stack=stack,
         sp=sp,
         best_t=acc_t,
@@ -758,6 +776,12 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
         best_det=bdet,
         best_tri=btri,
     )
+    if "n_tri" in c:
+        # Real per-ray test counts (RAY_DEBUG_INFO): every emitted
+        # superleaf visit evaluates the full stride of triangles.
+        out["n_tri"] = c["n_tri"] + cnt * SP
+        out["n_aabb"] = c["n_aabb"] + aabb
+    return out
 
 
 

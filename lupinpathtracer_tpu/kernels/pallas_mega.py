@@ -334,6 +334,7 @@ def _mega_kernel(
     la_size0 = smf_ref[21]
     accum_counter = rng_mod.as_u32(smi_ref[0])
     rng_seed = rng_mod.as_u32(smi_ref[1])
+    sample_offset = smi_ref[2]
 
     num_lights = 0 if scene.lights_empty else scene.num_lights
     Tl = 0 if scene.lights_empty else scene.lt_v0.shape[1]
@@ -350,7 +351,7 @@ def _mega_kernel(
             gx, gy, resolution, ox - 0.5, oy - 0.5, state,
         )
 
-    state0 = rng_mod.init_state(pix, accum_counter, rng_seed, 0)
+    state0 = rng_mod.init_state(pix, accum_counter, rng_seed, sample_offset)
     state0, ro0, rd0 = camera_ray(state0)
     zero = jnp.zeros((RB,), jnp.float32)
     one = jnp.ones((RB,), jnp.float32)
@@ -469,7 +470,7 @@ def _mega_kernel(
         sample_idx = c["sample_idx"] + done.astype(jnp.int32)
         spawn = done & (sample_idx < spp)
 
-        st_new = rng_mod.init_state(pix, accum_counter, rng_seed, sample_idx)
+        st_new = rng_mod.init_state(pix, accum_counter, rng_seed, sample_idx + sample_offset)
         st_new, ro_n, rd_n = camera_ray(st_new)
 
         alive_out = (alive & ~done) | spawn
@@ -502,7 +503,7 @@ def mega_pathtrace_spp(
     scene, W4, pixel_idx, gx, gy, resolution, cam, is_ortho: bool,
     accum_counter, rng_seed, spp: int, ptype: int, max_bounces: int,
     max_radiance, eps, ray_block: int = MEGA_RAY_BLOCK,
-    interpret: bool | None = None, precise: bool = False,
+    interpret: bool | None = None, precise: bool = False, sample_offset=0,
 ):
     """Drop-in replacement for integrators.pathtrace_spp on scenes passing
     `applicable`. Returns (acc V3 summed over spp, n_traced i32)."""
@@ -580,6 +581,7 @@ def mega_pathtrace_spp(
         [
             jnp.asarray(accum_counter, jnp.uint32).astype(jnp.int32),
             jnp.asarray(rng_seed, jnp.uint32).astype(jnp.int32),
+            jnp.asarray(sample_offset, jnp.int32),
         ]
     )
 

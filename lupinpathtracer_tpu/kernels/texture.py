@@ -17,18 +17,26 @@ from ..core import vec3 as v3
 from ..core.vec3 import V3
 
 
-def sample_texture(scene, tex_idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def sample_texture(
+    scene, tex_idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+    packed: bool = False,
+):
     """Bilinear sample with repeat addressing; returns (V3 rgb, alpha (B,)).
 
     ``tex_idx`` may contain -1 (sentinel): those lanes return 1.0, matching
     call sites that guard with SENTINEL_IDX (pathtracer.wgsl:1293-1310).
+    ``packed=True`` (material fetches) reads the RGBA8 u32 atlas when every
+    material texture is 8-bit-exact — 4 corner gathers instead of 16,
+    bit-identical values.
     """
+
+    from ..core.tables import sel_by_id
 
     present = tex_idx >= 0
     ti = jnp.maximum(tex_idx, 0)
-    w = scene.tex_width[ti]
-    h = scene.tex_height[ti]
-    off = scene.tex_offset[ti]
+    w = sel_by_id(scene.tex_width, ti)
+    h = sel_by_id(scene.tex_height, ti)
+    off = sel_by_id(scene.tex_offset, ti)
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
@@ -48,6 +56,25 @@ def sample_texture(scene, tex_idx: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     i10 = off + y0 * w + x1
     i01 = off + y1 * w + x0
     i11 = off + y1 * w + x1
+
+    if packed and scene.mat_tex_ldr:
+        atlas = scene.tex_data_u32
+        p00, p10, p01, p11 = atlas[i00], atlas[i10], atlas[i01], atlas[i11]
+
+        def chan(c):
+            sh = jnp.uint32(8 * c)
+
+            def dec(p):
+                # Division (not reciprocal-multiply) keeps k/255 bit-equal
+                # to the f32 atlas values.
+                return ((p >> sh) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
+
+            top = dec(p00) * (1.0 - fx) + dec(p10) * fx
+            bot = dec(p01) * (1.0 - fx) + dec(p11) * fx
+            out = top * (1.0 - fy) + bot * fy
+            return jnp.where(present, out, 1.0)
+
+        return V3(chan(0), chan(1), chan(2)), chan(3)
 
     def chan(c):
         row = scene.tex_data[c]

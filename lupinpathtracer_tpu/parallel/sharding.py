@@ -50,11 +50,23 @@ def _trace_block(
     ctx = integrators.make_ctx(scene, ray_epsilon)
     resolution = (jnp.float32(W), jnp.float32(H))
 
-    acc, _ = integrators.pathtrace_spp(
-        scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
-        accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
-        sample_offset=sample_offset,
-    )
+    # Same backend selection as the single-chip dispatch
+    # (renderer._render_pathtrace): mega-eligible scenes run the fused
+    # on-chip megakernel inside the shard too.
+    from ..kernels import intersect, pallas_mega
+
+    if pallas_mega.applicable(scene, ptype) and intersect._use_pallas():
+        acc, _ = pallas_mega.mega_pathtrace_spp(
+            scene, ctx["W"], pixel_idx, gx, gy, resolution, cam, is_ortho,
+            accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+            ray_epsilon, sample_offset=sample_offset,
+        )
+    else:
+        acc, _ = integrators.pathtrace_spp(
+            scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
+            accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+            sample_offset=sample_offset,
+        )
     return v3c.to_rows(acc / float(spp))
 
 

@@ -271,54 +271,25 @@ def _transmit(scene, c, alive, hit, weight, tr1, tr2):
     return vdst, in_volume, weight
 
 
-def _respawn(
-    regen, c, max_bounces, alive, ro, rd, state, weight, radiance,
-    next_emission, vol_len,
-):
-    """End-of-iteration path regeneration (see pathtrace_spp): finished
-    lanes bank their sample and restart as the next sample of their own
-    pixel. Returns the updated carry fields."""
-
-    B = ro.x.shape[0]
-    entry_alive = c["alive"]
-    bounce_next = c["bounce"] + 1
-    done = entry_alive & (~alive | (bounce_next > max_bounces))
-    acc = c["acc"] + v3.where(
-        done, clamp_radiance(radiance, regen["max_radiance"]), v3.zeros(B)
-    )
-    sample_idx = c["sample_idx"] + done.astype(jnp.int32)
-    spawn = done & (sample_idx < regen["spp"])
-
-    st_new = rng_mod.init_state(
-        regen["pixel_idx"], regen["accum_counter"], regen["rng_seed"],
-        sample_idx + regen["sample_offset"],
-    )
-    st_new, ro_n, rd_n = _camera_ray_from(regen, st_new)
-
-    return dict(
-        bounce=jnp.where(spawn, 0, bounce_next),
-        sample_idx=sample_idx,
-        acc=acc,
-        alive=(alive & ~done) | spawn,
-        state=jnp.where(spawn, st_new, state),
-        ro=v3.where(spawn, ro_n, ro),
-        rd=v3.where(spawn, rd_n, rd),
-        weight=v3.where(spawn, v3.full(B, 1.0), weight),
-        radiance=v3.where(spawn, v3.zeros(B), radiance),
-        next_emission=jnp.where(spawn, True, next_emission),
-        vol_len=jnp.where(spawn, 0, vol_len),
-    )
-
-
 def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
-    """Shared loop for STANDARD / NAIVE / DIRECT.
+    """Shared loop for STANDARD / NAIVE / DIRECT, one batched trace call
+    per bounce (see _pathtrace_mis for the slot design).
 
+    STANDARD / NAIVE trace only slot A (the continuation — or, on lanes
+    whose path ended, the respawned camera ray; dead lanes are masked out
+    of traversal entirely). DIRECT adds slot B for its explicit per-bounce
+    light ray (pathtracer.wgsl:1117-1145), folded into the same call.
     With `regen` (see pathtrace_spp) the bounce counter is per-lane and
     finished lanes respawn their pixel's next sample in place."""
 
     B = ro.x.shape[0]
     is_direct = ptype == PathtraceType.DIRECT
     use_nee = ptype in (PathtraceType.STANDARD, PathtraceType.DIRECT)
+    has_light_ray = is_direct and not (scene.lights_empty and scene.envs_empty)
+
+    alive0 = jnp.ones(B, bool)
+    hit0, attrs0, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive0)
+    has_attrs = attrs0 is not None
 
     init = dict(
         bounce=jnp.int32(0) if regen is None else jnp.zeros(B, jnp.int32),
@@ -327,14 +298,16 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         state=state,
         weight=v3.full(B, 1.0),
         radiance=v3.zeros(B),
-        alive=jnp.ones(B, bool),
+        alive=alive0,
+        hit=hit0,
+        attrs=attrs0 if has_attrs else jnp.zeros((1,), jnp.float32),
         vol_den=v3.zeros(B),
         vol_sca=v3.zeros(B),
         vol_aniso=jnp.zeros(B, jnp.float32),
         vol_len=jnp.zeros(B, jnp.int32),
         next_emission=jnp.ones(B, bool),
         n_bounces=jnp.zeros(B, jnp.int32),
-        n_traced=jnp.zeros(B, jnp.int32),
+        n_traced=jnp.full(B, 1, jnp.int32),
     )
     if regen is not None:
         init["sample_idx"] = jnp.zeros(B, jnp.int32)
@@ -351,9 +324,8 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         weight, radiance = c["weight"], c["radiance"]
         state = c["state"]
         next_emission = c["next_emission"]
-
-        n_traced = c["n_traced"] + alive.astype(jnp.int32)
-        hit, attrs, state = ray_skip_alpha(scene, ctx, ro, rd, state, alive)
+        hit = c["hit"]
+        attrs = c["attrs"] if has_attrs else None
 
         # Miss: environment (pathtrace_direct gates on next_emission,
         # pathtracer.wgsl:1075-1080; standard/naive add unconditionally).
@@ -384,8 +356,9 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         nd = surf & ~delta
         dl = surf & delta
 
-        # DIRECT: explicit light ray each bounce (pathtracer.wgsl:1117-1145).
-        if is_direct and not (scene.lights_empty and scene.envs_empty):
+        # DIRECT: explicit light ray each bounce (traced in slot B below).
+        weight_pre = weight
+        if has_light_ray:
             state, ldir = lights.sample_lights(scene, pos_surf, outgoing, state)
             lpdf = lights.sample_lights_pdf(
                 scene, pos_surf, ldir, ctx["eps"], ctx["Wl"]
@@ -394,20 +367,9 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
                 mp, normal, outgoing, ldir, scene.present_mat_types
             )
             do_l = nd & v3.all_nonzero(lf) & (lpdf > 0.0)
-            n_traced = n_traced + nd.astype(jnp.int32)
-            lhit, lattrs = intersect.closest_hit_attrs(
-                scene, pos_surf, ldir, ctx["eps"], W=ctx["W"],
-            )
-            l_em = get_material_point(scene, lhit, lattrs).emission
-            if not scene.envs_empty:
-                l_em = v3.where(
-                    lhit.hit, l_em, lights.sample_environments(scene, ldir)
-                )
-            else:
-                l_em = v3.where(lhit.hit, l_em, v3.zeros(B))
-            radiance = radiance + v3.where(
-                do_l, weight * lf * l_em * (1.0 / lpdf), v3.zeros(B)
-            )
+        else:
+            ldir = rd
+            do_l = jnp.zeros(B, bool)
         if is_direct:
             next_emission = jnp.where(nd, False, jnp.where(dl, True, next_emission))
 
@@ -467,8 +429,8 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         # branch, pathtracer.wgsl:1199-1229.)
 
         new_ro = v3.where(in_volume, pos_vol, pos_surf)
-        ro = v3.where(alive, new_ro, ro)
-        rd = v3.where(alive, incoming, rd)
+        ro_cont = v3.where(alive, new_ro, ro)
+        rd_cont = v3.where(alive, incoming, rd)
 
         # Weight viability (pathtracer.wgsl:719).
         alive = alive & ~v3.all_zero(weight) & v3.is_finite(weight)
@@ -484,29 +446,90 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
             weight,
         )
 
+        # --- path-end bookkeeping, then ONE combined trace ---
+        entry_alive = c["alive"]
+        bounce_next = c["bounce"] + 1
+        done = entry_alive & (~alive | (bounce_next > max_bounces))
+        if regen is not None:
+            sample_idx = c["sample_idx"] + done.astype(jnp.int32)
+            spawn = done & (sample_idx < regen["spp"])
+            st_new = rng_mod.init_state(
+                regen["pixel_idx"], regen["accum_counter"], regen["rng_seed"],
+                sample_idx + regen["sample_offset"],
+            )
+            st_new, ro_n, rd_n = _camera_ray_from(regen, st_new)
+            ro_a = v3.where(spawn, ro_n, ro_cont)
+            rd_a = v3.where(spawn, rd_n, rd_cont)
+            state_a = jnp.where(spawn, st_new, state)
+            ne_a = jnp.where(spawn, True, next_emission)
+            alive_next = (alive & ~done) | spawn
+        else:
+            spawn = jnp.zeros(B, bool)
+            ro_a, rd_a, state_a, ne_a = ro_cont, rd_cont, state, next_emission
+            alive_next = alive & ~done & (bounce_next <= max_bounces)
+
+        active_a = alive_next
+        if has_light_ray:
+            ro3 = _v3cat(ro_a, pos_surf)
+            rd3 = _v3cat(rd_a, ldir)
+            mask3 = jnp.concatenate([active_a, jnp.zeros(B, bool)])
+            active3 = jnp.concatenate([active_a, do_l])
+            state3 = jnp.concatenate([state_a, state_a])
+        else:
+            ro3, rd3 = ro_a, rd_a
+            mask3 = active_a
+            active3 = active_a
+            state3 = state_a
+        hit3, attrs3, state3 = ray_skip_alpha(
+            scene, ctx, ro3, rd3, state3, mask3, active=active3
+        )
+        state_a = state3[:B]
+        hit_a = _slice_tree(hit3, 0, B)
+        attrs_a = _slice_tree(attrs3, 0, B)
+        n_traced = c["n_traced"] + active_a.astype(jnp.int32)
+
+        if has_light_ray:
+            hit_b = _slice_tree(hit3, B, 2 * B)
+            attrs_b = _slice_tree(attrs3, B, 2 * B)
+            l_em = get_emission(scene, hit_b, attrs_b)
+            if not scene.envs_empty:
+                l_em = v3.where(
+                    hit_b.hit, l_em, lights.sample_environments(scene, ldir)
+                )
+            else:
+                l_em = v3.where(hit_b.hit, l_em, v3.zeros(B))
+            radiance = radiance + v3.where(
+                do_l, weight_pre * lf * l_em * (1.0 / lpdf), v3.zeros(B)
+            )
+            n_traced = n_traced + do_l.astype(jnp.int32)
+
         out = dict(
-            bounce=c["bounce"] + 1,
-            ro=ro,
-            rd=rd,
-            state=state,
+            bounce=bounce_next if regen is None else jnp.where(spawn, 0, bounce_next),
+            ro=ro_a,
+            rd=rd_a,
+            state=state_a,
             weight=weight,
             radiance=radiance,
-            alive=alive,
+            alive=alive_next,
+            hit=hit_a,
+            attrs=attrs_a if has_attrs else c["attrs"],
             vol_den=vol_den,
             vol_sca=vol_sca,
             vol_aniso=vol_aniso,
             vol_len=vol_len,
-            next_emission=next_emission,
+            next_emission=ne_a,
             n_bounces=n_bounces,
             n_traced=n_traced,
         )
         if regen is not None:
-            out.update(
-                _respawn(
-                    regen, c, max_bounces, alive, ro, rd, state, weight,
-                    radiance, next_emission, vol_len,
-                )
+            acc = c["acc"] + v3.where(
+                done, clamp_radiance(radiance, regen["max_radiance"]), v3.zeros(B)
             )
+            out["sample_idx"] = sample_idx
+            out["acc"] = acc
+            out["weight"] = v3.where(spawn, v3.full(B, 1.0), weight)
+            out["radiance"] = v3.where(spawn, v3.zeros(B), radiance)
+            out["vol_len"] = jnp.where(spawn, 0, vol_len)
         return out
 
     c = jax.lax.while_loop(cond, body, init)

@@ -170,7 +170,7 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
             ones = jnp.ones(B, jnp.float32)
             return V3(ones, ones, ones), ones
         ti = jnp.where(has_uv, mf["tex"][slot], -1)
-        return sample_texture(scene, ti, u, v)
+        return sample_texture(scene, ti, u, v, packed=True)
 
     color_rgb, color_a = tex_sample(0)
     if use_tex:
@@ -273,7 +273,7 @@ def get_emission(scene, hit, attrs=None) -> V3:
         return mf["emission"]
     u, v, has_uv = hit_texcoords(scene, hit, attrs)
     ti = jnp.where(has_uv, mf["tex"][1], -1)
-    emission_rgb, _ = sample_texture(scene, ti, u, v)
+    emission_rgb, _ = sample_texture(scene, ti, u, v, packed=True)
     return emission_rgb * mf["emission"]
 
 
@@ -328,7 +328,7 @@ def compute_shading_normal(scene, hit, attrs=None) -> V3:
             tangent = v3.gather(scene.wt_tan, t)
             bitangent = v3.gather(scene.wt_bit, t)
         use_nm = ntex >= 0
-        nm_rgb, _ = sample_texture(scene, ntex, u, v2_)
+        nm_rgb, _ = sample_texture(scene, ntex, u, v2_, packed=True)
         n_tex = nm_rgb * 2.0 - 1.0
         # Orthonormal frame: t' = orthonormalize(t, n), b' = normalize(n x t')
         # with bitangent-handedness flip (pathtracer.wgsl:1368-1379).

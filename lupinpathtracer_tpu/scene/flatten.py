@@ -162,6 +162,11 @@ class SceneTPU:
 
     # --- texture atlas ---
     tex_data: jnp.ndarray  # (4,P) f32 flattened pixels, component-major
+    # Packed RGBA8 atlas (P,) u32 — bit-exact for 8-bit-sourced textures;
+    # material fetches use it when every material-referenced texture is LDR
+    # (mat_tex_ldr), cutting a bilinear fetch from 16 lane gathers to 4.
+    tex_data_u32: jnp.ndarray
+    mat_tex_ldr: bool = struct.field(pytree_node=False)
     tex_offset: jnp.ndarray  # (Nt,) i32
     tex_width: jnp.ndarray  # (Nt,) i32
     tex_height: jnp.ndarray  # (Nt,) i32
@@ -672,6 +677,7 @@ def build_scene_tpu(
     tex_offset = np.zeros(max(nt, 1), np.int32)
     tex_w = np.ones(max(nt, 1), np.int32)
     tex_h = np.ones(max(nt, 1), np.int32)
+    tex_is_ldr = np.zeros(max(nt, 1), bool)
     if nt:
         chunks = []
         cursor = 0
@@ -680,7 +686,15 @@ def build_scene_tpu(
             tex_offset[i] = cursor
             tex_w[i] = w
             tex_h[i] = h
-            chunks.append(tex.data.reshape(-1, 4).astype(np.float32))
+            d = tex.data.reshape(-1, 4).astype(np.float32)
+            chunks.append(d)
+            # 8-bit-exact in [0,1]: the packed u32 atlas reproduces it
+            # bit-for-bit (PNG/JPG loads are k/255).
+            q = np.round(d * 255.0)
+            tex_is_ldr[i] = bool(
+                (d >= 0.0).all() and (d <= 1.0).all()
+                and np.array_equal(q / 255.0, d)
+            )
             cursor += h * w
         tex_data = np.concatenate(chunks, axis=0)
     else:
@@ -766,6 +780,23 @@ def build_scene_tpu(
         )
         for f in _slot_fields
     )
+    # Every texture any used material binds (all 5 slots) is 8-bit-exact ->
+    # material fetches take the packed-u32 path.
+    _mat_tex_ids = {
+        (int(getattr(scene.materials[m], f)) & 0xFFFFFFFF)
+        for m in used_mats
+        for f in _slot_fields + ("normal_tex_idx",)
+    } - {0xFFFFFFFF}
+    mat_tex_ldr = bool(_mat_tex_ids) and all(
+        tex_is_ldr[t] for t in _mat_tex_ids
+    )
+    if mat_tex_ldr:
+        q = np.clip(np.round(tex_data * 255.0), 0, 255).astype(np.uint32)
+        tex_data_u32 = (
+            q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (q[:, 3] << 24)
+        )
+    else:
+        tex_data_u32 = np.zeros(1, np.uint32)
     vol_types = {int(MT.REFRACTIVE), int(MT.VOLUMETRIC), int(MT.SUBSURFACE)}
     any_vol = bool(vol_types & set(present_types))
     delta_types = {
@@ -873,6 +904,8 @@ def build_scene_tpu(
         mat_tr_depth=dev(mat_trd),
         mat_tex=dev(mat_tex.T),
         tex_data=dev(np.ascontiguousarray(tex_data.T)),
+        tex_data_u32=dev(tex_data_u32),
+        mat_tex_ldr=bool(mat_tex_ldr),
         tex_offset=dev(tex_offset),
         tex_width=dev(tex_w),
         tex_height=dev(tex_h),
