@@ -30,18 +30,23 @@ import numpy as np
 
 from .bvh import BvhArrays, build_bvh
 
-# Row-table column layout (see kernels/pallas_bvh.py).
+# Row-table column layout (see kernels/pallas_bvh.py). Child references are
+# THREE 8-bit-exact bf16 factors (h2*65536 + hi*256 + lo), addressing up to
+# 16.7M rows/leaves — the extra columns are free on the MXU (the fetch
+# matmul's output dim pads to 128 either way).
 COL_LMIN = slice(0, 3)
 COL_LMAX = slice(3, 6)
 COL_RMIN = slice(6, 9)
 COL_RMAX = slice(9, 12)
 COL_L_ISLEAF = 12
-COL_L_HI = 13
-COL_L_LO = 14
-COL_R_ISLEAF = 15
-COL_R_HI = 16
-COL_R_LO = 17
-TOP_COLS = 18
+COL_L_H2 = 13
+COL_L_HI = 14
+COL_L_LO = 15
+COL_R_ISLEAF = 16
+COL_R_H2 = 17
+COL_R_HI = 18
+COL_R_LO = 19
+TOP_COLS = 20
 
 
 @dataclass
@@ -225,13 +230,14 @@ def build_top_table(lo: np.ndarray, hi: np.ndarray):
     rows = len(internal)
     tab = np.zeros((rows, TOP_COLS), np.float32)
     assert row_of.get(0) == 0, "root must be internal for n > 1"
+    assert n < (1 << 24), f"top table: {n} leaves exceeds the 3-factor encoding"
     for m in internal:
         i = row_of[int(m)]
         l = int(top.first_or_begin[m])
         r = l + 1
-        for child, cmin, cmax, cleaf, chi, clo in (
-            (l, COL_LMIN, COL_LMAX, COL_L_ISLEAF, COL_L_HI, COL_L_LO),
-            (r, COL_RMIN, COL_RMAX, COL_R_ISLEAF, COL_R_HI, COL_R_LO),
+        for child, cmin, cmax, cleaf, ch2, chi, clo in (
+            (l, COL_LMIN, COL_LMAX, COL_L_ISLEAF, COL_L_H2, COL_L_HI, COL_L_LO),
+            (r, COL_RMIN, COL_RMAX, COL_R_ISLEAF, COL_R_H2, COL_R_HI, COL_R_LO),
         ):
             tab[i, cmin] = _bf16_down(top.aabb_min[child])
             tab[i, cmax] = _bf16_up(top.aabb_max[child])
@@ -242,7 +248,8 @@ def build_top_table(lo: np.ndarray, hi: np.ndarray):
             else:
                 ref = row_of[child]
                 tab[i, cleaf] = 0.0
-            tab[i, chi] = float(ref // 256)
+            tab[i, ch2] = float(ref // 65536)
+            tab[i, chi] = float((ref // 256) % 256)
             tab[i, clo] = float(ref % 256)
 
     rows_pad = max(128, -(-rows // 128) * 128)

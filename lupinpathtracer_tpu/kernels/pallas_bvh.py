@@ -36,11 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.superleaf import (
+    COL_L_H2,
     COL_L_HI,
     COL_L_ISLEAF,
     COL_L_LO,
     COL_LMAX,
     COL_LMIN,
+    COL_R_H2,
     COL_R_HI,
     COL_R_ISLEAF,
     COL_R_LO,
@@ -75,11 +77,13 @@ def _slab(rox, roy, roz, idx, idy, idz, fetch, lo_sl, hi_sl):
     return jnp.where(ok, t_near, F32_MAX)
 
 
-def _decode_ref(fetch, leaf_c, hi_c, lo_c):
+def _decode_ref(fetch, leaf_c, h2_c, hi_c, lo_c):
     """Child reference: >=0 internal row index, <0 encoded superleaf
-    (-(sl+1)). hi/lo factors are bf16-exact (<= 256 each)."""
+    (-(sl+1)). Three 8-bit factors, each bf16-exact, address 16.7M rows."""
 
-    rid = (fetch[hi_c] * 256.0 + fetch[lo_c]).astype(jnp.int32)
+    rid = (
+        fetch[h2_c] * 65536.0 + fetch[hi_c] * 256.0 + fetch[lo_c]
+    ).astype(jnp.int32)
     is_leaf = fetch[leaf_c] > 0.5
     return jnp.where(is_leaf, -rid - 1, rid)
 
@@ -145,8 +149,8 @@ def _top_kernel(
 
         tl = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_LMIN, COL_LMAX)
         tr = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_RMIN, COL_RMAX)
-        lref = _decode_ref(fetch, COL_L_ISLEAF, COL_L_HI, COL_L_LO)
-        rref = _decode_ref(fetch, COL_R_ISLEAF, COL_R_HI, COL_R_LO)
+        lref = _decode_ref(fetch, COL_L_ISLEAF, COL_L_H2, COL_L_HI, COL_L_LO)
+        rref = _decode_ref(fetch, COL_R_ISLEAF, COL_R_H2, COL_R_HI, COL_R_LO)
 
         push_l = is_int & (tl < best_t)
         push_r = is_int & (tr < best_t)

@@ -565,11 +565,23 @@ def build_scene_tpu(
                 g_lo.append(wlo)
                 g_hi.append(whi)
         G = len(g_inst)
-        # Child references in the condensed table are two 8-bit factors.
-        assert 1 <= G < 65536, (
+        # Child refs are three 8-bit bf16 factors -> 16.7M addressable
+        # (renderer.rs:317-319's 1M-instance envelope fits). The VMEM-
+        # resident row table is the practical per-dispatch bound: ~260k
+        # internal rows = ~10 MB of the ~16 MB VMEM.
+        assert 1 <= G < (1 << 24), (
             f"two-level top tree: {G} instance-superleaves exceeds the "
-            "row-table reference encoding; raise the stride or shard"
+            "3-factor reference encoding"
         )
+        if G > 262144:
+            import warnings
+
+            warnings.warn(
+                f"two-level top table has {G} rows (~{G * 40 / 2 ** 20:.0f} MB)"
+                " — beyond the VMEM-resident fast path; traversal will be"
+                " slow. Raise the superleaf stride.",
+                stacklevel=2,
+            )
         gsl_inst = np.asarray(g_inst, np.int32)
         gsl_msl = np.asarray(g_msl, np.int32)
         top_tab, _rows, top_root_is_leaf, top_depth = sl_mod.build_top_table(

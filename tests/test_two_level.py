@@ -218,3 +218,52 @@ def test_instances1_two_level_matches(rng):
     np.testing.assert_array_equal(
         np.asarray(h2.backside)[m], np.asarray(h1.backside)[m]
     )
+
+
+def test_beyond_64k_instances():
+    """The condensed top table's 3-factor child encoding addresses
+    instance-superleaf counts beyond the old 65,536 cap
+    (renderer.rs:317-319 allows 1M TLAS instances). 70k quad instances:
+    device memory stays ∝ unique-mesh tris and downward probe rays hit
+    their own instance at the right distance."""
+
+    N = 70_000  # > 2^16: two 8-bit factors cannot address this
+    side = 300
+    quad_p = np.array(
+        [[-0.2, 0, -0.2], [0.2, 0, -0.2], [0.2, 0, 0.2], [-0.2, 0, 0.2]],
+        np.float32,
+    )
+    quad = MeshCPU(
+        positions=quad_p,
+        indices=np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=None, texcoords=None, colors=None,
+    )
+    mat = Material()
+    insts = []
+    for i in range(N):
+        frame = np.eye(3, 4, dtype=np.float32)
+        frame[0, 3] = float(i % side)
+        frame[2, 3] = float(i // side)
+        insts.append(InstanceCPU(frame=frame, mesh_idx=0, mat_idx=0))
+    scene = SceneCPU(
+        meshes=[quad], instances=insts, materials=[mat],
+        environments=[], textures=[],
+    )
+    tpu = build_scene_tpu(scene, two_level=True)
+    assert tpu.two_level and tpu.sl_count == N and tpu.msl_count == 1
+    # memory ∝ unique-mesh tris: the repacked soup covers ONE mesh.
+    assert tpu.wt_v0.shape[1] < 4 * tpu.sl_stride
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, N, size=256)
+    ox = (ids % side).astype(np.float32)
+    oz = (ids // side).astype(np.float32)
+    ro = v3.V3(jnp.asarray(ox), jnp.full(256, 5.0), jnp.asarray(oz))
+    rd = v3.V3(jnp.zeros(256), jnp.full(256, -1.0), jnp.zeros(256))
+    h = intersect.closest_hit(tpu, ro, rd, 1e-3)
+    np.testing.assert_array_equal(np.asarray(h.hit), True)
+    np.testing.assert_allclose(np.asarray(h.dst), 5.0, rtol=1e-5)
+    # winning global superleaf identifies the instance
+    gsl = np.asarray(h.tri) // tpu.sl_stride
+    inst = np.asarray(tpu.gsl_inst)[gsl]
+    np.testing.assert_array_equal(inst, ids)
