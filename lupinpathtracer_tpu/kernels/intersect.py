@@ -527,10 +527,15 @@ def _wf_work_items(skey, n_sl, PB, cnt_sl=None):
 
     Superleaf s covers sorted positions [seg_start[s], seg_start[s+1]) =
     blocks first_blk..last_blk; boundary blocks get one item per segment.
-    Returns (blk, sl, lo, hi, n_real): block-monotone items sized to the
-    static cap n_blocks + n_sl, with invalid tail items repeating the last
-    valid block/superleaf (kernels skip them via lo == hi, and repeating
-    the ids keeps resident blocks unchanged so write-back is idempotent).
+    Returns (blk, sl, lo, hi, n_real, n_items): block-monotone items sized
+    to the static cap n_blocks + n_sl, with invalid tail items repeating the
+    last valid block/superleaf (kernels skip them via lo == hi, and
+    repeating the ids keeps resident blocks unchanged so write-back is
+    idempotent). `n_items` is the traced count of VALID items — pass it to
+    the kernels' dynamic grid so the (typically ~90% empty) static tail
+    costs nothing: the measured fixed cost is ~1.5 us per grid step even
+    when every DMA is skipped, which dominated the pair kernel at the old
+    static cap.
 
     `cnt_sl` (>= n_sl,) — the per-superleaf demand histogram, produced for
     free by the top-traverse kernel — turns seg_start into a tiny cumsum;
@@ -573,7 +578,9 @@ def _wf_work_items(skey, n_sl, PB, cnt_sl=None):
     sl_k = jnp.maximum(jax.lax.cummax(jnp.where(valid_k, s_k, -1)), 0)
     lo_k = jnp.where(valid_k, seg_start[s_k], 0)
     hi_k = jnp.where(valid_k, seg_start[s_k + 1], 0)
-    return blk_k, sl_k, lo_k, hi_k, n_real
+    # >=1 so an all-empty round still launches a (skipped, lo==hi) step.
+    n_items = jnp.maximum(total_items, 1).astype(jnp.int32)
+    return blk_k, sl_k, lo_k, hi_k, n_real, n_items
 
 
 @struct.dataclass
@@ -651,7 +658,7 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
         (key, ridx, li, padv(hit.u, 0.0), padv(hit.v, 0.0)), num_keys=1
     )
 
-    blk_k, sl_k, lo_k, hi_k, _ = _wf_work_items(skey, n_sl, PB)
+    blk_k, sl_k, lo_k, hi_k, _, n_items = _wf_work_items(skey, n_sl, PB)
     msl_k, inst_k, _, nrm_tab, ovr_tab = _item_instancing(scene, sl_k)
     A3 = scene.wt_attr[: scene.msl_count * SP].reshape(
         scene.msl_count, SP, pk.ATTR_WIDTH
@@ -660,7 +667,7 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
     a = pb.attr_fetch(
         blk_k, msl_k, lo_k, hi_k, s_li, s_u, s_v, A3,
         pair_block=PB, with_tangents=with_tan, inst=inst_k,
-        nrm_tab=nrm_tab, ovr_tab=ovr_tab,
+        nrm_tab=nrm_tab, ovr_tab=ovr_tab, n_items_dyn=n_items,
     )  # (IA_ROWS[_NM], Bp) in sorted order
 
     base = jax.lax.sort(
@@ -734,7 +741,9 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
         num_keys=1,
     )
 
-    blk_k, sl_k, lo_k, hi_k, n_real = _wf_work_items(skey, n_sl, PB, cnt_sl)
+    blk_k, sl_k, lo_k, hi_k, n_real, n_items = _wf_work_items(
+        skey, n_sl, PB, cnt_sl
+    )
     msl_k, inst_k, txf_tab, _, _ = _item_instancing(scene, sl_k)
 
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
@@ -742,7 +751,7 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
         blk_k, sl_k, lo_k, hi_k,
         v3.V3(srox, sroy, sroz), v3.V3(srdx, srdy, srdz),
         W, eps, SP=SP, pair_block=PB, msl=msl_k, inst=inst_k,
-        txf_tab=txf_tab,
+        txf_tab=txf_tab, n_items_dyn=n_items,
     )
     t = jnp.where(jnp.arange(QB, dtype=jnp.int32) < n_real, t, F32_MAX)
 

@@ -433,7 +433,7 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
 
 
 def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
-                   msl=None, inst=None, txf_tab=None):
+                   msl=None, inst=None, txf_tab=None, n_items_dyn=None):
     """Work-item pair intersection over superleaf-sorted rays.
 
     blk/sl/lo/hi: (n_items,) i32 work items — ray block id, superleaf id,
@@ -442,6 +442,9 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
     nondecreasing so output blocks revisit consecutively. ro/rd: V3 of
     sorted per-pair ray components (P = n_pb * pair_block, n_pb = number of
     ray blocks); W4: (4, 10, n_sl*SP) padded-soup coefficient matrix.
+    n_items_dyn: traced count of valid items — used as a DYNAMIC grid bound
+    on TPU so the static tail costs nothing (a skipped step still costs
+    ~1.5 us; the tail is ~90% of the static cap in typical rounds).
     Returns per sorted pair (t, u, v, det, GLOBAL tri idx = sl*SP + local);
     positions covered by no item hold garbage — cut by the caller."""
 
@@ -472,9 +475,13 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
         memory_space=pltpu.VMEM,
     )
 
+    interpret = jax.default_backend() != "tpu"
+    # Interpret mode (CPU tests) has no dynamic-grid lowering; the static
+    # cap is correct either way, just slower.
+    grid = (n_items,) if interpret or n_items_dyn is None else (n_items_dyn,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(n_items,),
+        grid=grid,
         in_specs=[vec_spec] * 7
         + [
             pl.BlockSpec(
@@ -500,7 +507,7 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(blk, sl, msl, lo, hi, inst, txf_tab,
       shape3(ro.x), shape3(ro.y), shape3(ro.z),
       shape3(rd.x), shape3(rd.y), shape3(rd.z),
@@ -658,7 +665,8 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, inst_ref, nrm_ref,
 
 
 def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
-               with_tangents=False, inst=None, nrm_tab=None, ovr_tab=None):
+               with_tangents=False, inst=None, nrm_tab=None, ovr_tab=None,
+               n_items_dyn=None):
     """blk/sl/lo/hi: work items as in pair_intersect; li: (P,) i32 local tri
     index per sorted ray; hu/hv: (P,) hit barycentrics; A3: (n_sl, SP, AW)
     packed attribute slices. Returns (IA_ROWS[_NM], P) interpolated
@@ -685,9 +693,11 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
         (1, sub, 128), lambda i, b, s, l, h, it, nr, ov: (b[i], 0, 0),
         memory_space=pltpu.VMEM,
     )
+    interpret = jax.default_backend() != "tpu"
+    grid = (n_items,) if interpret or n_items_dyn is None else (n_items_dyn,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(n_items,),
+        grid=grid,
         in_specs=[
             vec_spec, vec_spec, vec_spec,
             pl.BlockSpec(
@@ -708,7 +718,7 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(blk, sl, lo, hi, inst, nrm_tab, ovr_tab,
       li.reshape(n_pb, sub, 128),
       hu.reshape(n_pb, sub, 128), hv.reshape(n_pb, sub, 128),

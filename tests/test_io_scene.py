@@ -84,21 +84,3 @@ def test_hdr_read_reference_golden():
     assert img.max() > 0.01
 
 
-def test_tlas_builder():
-    from lupinpathtracer_tpu.accel.tlas import build_tlas, instance_world_aabbs
-
-    scene, _ = builtin.build_scene_cornell_box()
-    lo, hi = instance_world_aabbs(scene)
-    tlas = build_tlas(lo, hi)
-    n_inst = lo.shape[0]
-    # Root covers everything; leaves reference every instance exactly once.
-    np.testing.assert_allclose(tlas.aabb_min[0], lo.min(axis=0), atol=1e-5)
-    np.testing.assert_allclose(tlas.aabb_max[0], hi.max(axis=0), atol=1e-5)
-    leaves = tlas.left == 0
-    assert sorted(tlas.instance_idx[leaves].tolist()) == list(range(n_inst))
-    assert tlas.depth < 50
-    # Children contained in parents.
-    for k in np.nonzero(~leaves)[0]:
-        for ch in (tlas.left[k], tlas.right[k]):
-            assert np.all(tlas.aabb_min[ch] >= tlas.aabb_min[k] - 1e-5)
-            assert np.all(tlas.aabb_max[ch] <= tlas.aabb_max[k] + 1e-5)
