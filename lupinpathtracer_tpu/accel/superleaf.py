@@ -30,23 +30,24 @@ import numpy as np
 
 from .bvh import BvhArrays, build_bvh
 
-# Row-table column layout (see kernels/pallas_bvh.py). Child references are
-# THREE 8-bit-exact bf16 factors (h2*65536 + hi*256 + lo), addressing up to
-# 16.7M rows/leaves — the extra columns are free on the MXU (the fetch
-# matmul's output dim pads to 128 either way).
-COL_LMIN = slice(0, 3)
-COL_LMAX = slice(3, 6)
-COL_RMIN = slice(6, 9)
-COL_RMAX = slice(9, 12)
-COL_L_ISLEAF = 12
-COL_L_H2 = 13
-COL_L_HI = 14
-COL_L_LO = 15
-COL_R_ISLEAF = 16
-COL_R_H2 = 17
-COL_R_HI = 18
-COL_R_LO = 19
-TOP_COLS = 20
+# Row-table column layout (see kernels/pallas_bvh.py). The top tree is
+# EIGHT-WIDE: one row holds all 8 children of an internal node, because the
+# traversal kernel's per-step cost is dominated by the (TOP_COLS, rows) @
+# (rows, RB) one-hot fetch — an 8-ary collapse cuts internal rows ~7x AND
+# node pops ~3x (v5e: the binary walk spent ~10 ms/round on ~25 lockstep
+# steps of a (768, 2048) one-hot; the wide walk needs ~4 steps against a
+# (128, 2048) one-hot). Child references are THREE 8-bit-exact bf16 factors
+# (h2*65536 + hi*256 + lo), addressing up to 16.7M rows/leaves. Empty child
+# slots carry an inverted (miss-everything) AABB.
+TOP_FAN = 8
+CH_STRIDE = 10  # per-child column group
+CH_LO = slice(0, 3)  # within the group
+CH_HI = slice(3, 6)
+CH_ISLEAF = 6
+CH_H2 = 7
+CH_HI8 = 8
+CH_LO8 = 9
+TOP_COLS = TOP_FAN * CH_STRIDE  # 80
 
 
 @dataclass
@@ -211,46 +212,101 @@ def build_superleaves(
 
 
 def build_top_table(lo: np.ndarray, hi: np.ndarray):
-    """Condensed top-tree row table over N leaf AABBs.
+    """Condensed EIGHT-WIDE top-tree row table over N leaf AABBs.
 
-    Returns (tab (rows_pad, TOP_COLS) f32 with bf16-representable bounds,
-    rows, root_is_leaf, depth). Leaf references encode the index into the
-    given AABB list — superleaf ids for single-level scenes, global
-    (instance x mesh-superleaf) ids for the two-level path."""
+    The binary SAH tree from accel/bvh.py is collapsed into TOP_FAN-ary
+    nodes (repeatedly expanding the child subtree with the most leaves —
+    the standard BVH2->BVH8 collapse), then condensed into rows holding all
+    8 children's AABBs + refs. Returns (tab (rows_pad, TOP_COLS) f32 with
+    bf16-representable bounds, rows, root_is_leaf, depth). Leaf references
+    encode the index into the given AABB list — superleaf ids for
+    single-level scenes, global (instance x mesh-superleaf) ids for the
+    two-level path. `depth` is the WIDE depth (stack bound =
+    (TOP_FAN-1)*depth + TOP_FAN + 1, see kernels/intersect.py)."""
 
     n = lo.shape[0]
     top = build_bvh(lo, hi, max_leaf_size=1)
     if n == 1:
         return np.zeros((128, TOP_COLS), np.float32), 0, True, 1
-
-    # Condense internal nodes into rows; re-index internals densely with
-    # the ROOT at row 0.
-    internal = np.nonzero(top.tri_count == 0)[0]
-    row_of = {int(m): i for i, m in enumerate(internal)}
-    rows = len(internal)
-    tab = np.zeros((rows, TOP_COLS), np.float32)
-    assert row_of.get(0) == 0, "root must be internal for n > 1"
     assert n < (1 << 24), f"top table: {n} leaves exceeds the 3-factor encoding"
-    for m in internal:
-        i = row_of[int(m)]
+
+    leaf_count = np.where(top.tri_count > 0, 1, 0).astype(np.int64)
+    # Post-order subtree leaf counts (for the largest-first collapse).
+    order_stack = [(0, False)]
+    while order_stack:
+        m, processed = order_stack.pop()
+        if top.tri_count[m] > 0:
+            continue
         l = int(top.first_or_begin[m])
-        r = l + 1
-        for child, cmin, cmax, cleaf, ch2, chi, clo in (
-            (l, COL_LMIN, COL_LMAX, COL_L_ISLEAF, COL_L_H2, COL_L_HI, COL_L_LO),
-            (r, COL_RMIN, COL_RMAX, COL_R_ISLEAF, COL_R_H2, COL_R_HI, COL_R_LO),
-        ):
-            tab[i, cmin] = _bf16_down(top.aabb_min[child])
-            tab[i, cmax] = _bf16_up(top.aabb_max[child])
+        if processed:
+            leaf_count[m] = leaf_count[l] + leaf_count[l + 1]
+        else:
+            order_stack.append((m, True))
+            order_stack.append((l, False))
+            order_stack.append((l + 1, False))
+
+    def collapse(b: int) -> list[int]:
+        """Children (binary node ids) of the wide node rooted at b."""
+
+        kids = [int(top.first_or_begin[b]), int(top.first_or_begin[b]) + 1]
+        while len(kids) < TOP_FAN:
+            # Expand the internal child with the most leaves.
+            best, best_n = -1, 0
+            for i, k in enumerate(kids):
+                if top.tri_count[k] == 0 and leaf_count[k] > best_n:
+                    best, best_n = i, leaf_count[k]
+            if best < 0:
+                break
+            k = kids.pop(best)
+            kids.append(int(top.first_or_begin[k]))
+            kids.append(int(top.first_or_begin[k]) + 1)
+        return kids
+
+    # DFS over wide nodes; row ids in discovery order (root = 0).
+    rows_list: list[list[int]] = []
+    row_of: dict[int, int] = {}
+    depth_of: dict[int, int] = {0: 1}
+    stack = [0]
+    depth = 1
+    while stack:
+        b = stack.pop()
+        row_of[b] = len(rows_list)
+        kids = collapse(b)
+        rows_list.append(kids)
+        d = depth_of[b]
+        for k in kids:
+            if top.tri_count[k] == 0:
+                depth_of[k] = d + 1
+                depth = max(depth, d + 1)
+                stack.append(k)
+
+    rows = len(rows_list)
+    tab = np.zeros((rows, TOP_COLS), np.float32)
+    # Empty slots: ISLEAF = -1 marks them; the kernel forces their slab t
+    # to F32_MAX before ordering (an "inverted AABB" does NOT miss under
+    # the slab formulation — t_near=-inf, t_far=+inf passes).
+    for c in range(TOP_FAN):
+        tab[:, c * CH_STRIDE + CH_LO.start : c * CH_STRIDE + CH_LO.stop] = 3e38
+        tab[:, c * CH_STRIDE + CH_HI.start : c * CH_STRIDE + CH_HI.stop] = -3e38
+        tab[:, c * CH_STRIDE + CH_ISLEAF] = -1.0
+    for i, kids in enumerate(rows_list):
+        for c, child in enumerate(kids):
+            base = c * CH_STRIDE
+            tab[i, base + CH_LO.start : base + CH_LO.stop] = _bf16_down(
+                top.aabb_min[child]
+            )
+            tab[i, base + CH_HI.start : base + CH_HI.stop] = _bf16_up(
+                top.aabb_max[child]
+            )
             if top.tri_count[child] > 0:
-                # Leaf: reference = id of the AABB entry.
                 ref = int(top.order[top.first_or_begin[child]])
-                tab[i, cleaf] = 1.0
+                tab[i, base + CH_ISLEAF] = 1.0
             else:
                 ref = row_of[child]
-                tab[i, cleaf] = 0.0
-            tab[i, ch2] = float(ref // 65536)
-            tab[i, chi] = float((ref // 256) % 256)
-            tab[i, clo] = float(ref % 256)
+                tab[i, base + CH_ISLEAF] = 0.0
+            tab[i, base + CH_H2] = float(ref // 65536)
+            tab[i, base + CH_HI8] = float((ref // 256) % 256)
+            tab[i, base + CH_LO8] = float(ref % 256)
 
     rows_pad = max(128, -(-rows // 128) * 128)
     if rows_pad != rows:
@@ -258,4 +314,4 @@ def build_top_table(lo: np.ndarray, hi: np.ndarray):
         # Padding rows are never selected (refs only ever point at real
         # rows); boxes stay at 0 -> degenerate.
         tab = np.concatenate([tab, pad], axis=0)
-    return tab, rows, False, top.depth
+    return tab, rows, False, depth

@@ -443,7 +443,11 @@ def closest_hit_wavefront(
             return h, (jnp.full(B, SP, jnp.int32), jnp.zeros(B, jnp.int32))
         return h
 
-    S = scene.top_depth + 2
+    # Wide-tree stack bound: popping at depth d leaves <= TOP_FAN-1 siblings
+    # per ancestor level on the stack, plus this pop's <= TOP_FAN pushes.
+    from ..accel.superleaf import TOP_FAN
+
+    S = (TOP_FAN - 1) * scene.top_depth + TOP_FAN + 2
 
     real_lane = jnp.arange(Bp) < B
     if active is not None:

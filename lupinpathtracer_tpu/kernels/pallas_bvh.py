@@ -36,19 +36,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.superleaf import (
-    COL_L_H2,
-    COL_L_HI,
-    COL_L_ISLEAF,
-    COL_L_LO,
-    COL_LMAX,
-    COL_LMIN,
-    COL_R_H2,
-    COL_R_HI,
-    COL_R_ISLEAF,
-    COL_R_LO,
-    COL_RMAX,
-    COL_RMIN,
+    CH_H2,
+    CH_HI,
+    CH_HI8,
+    CH_ISLEAF,
+    CH_LO,
+    CH_LO8,
+    CH_STRIDE,
     TOP_COLS,
+    TOP_FAN,
 )
 
 F32_MAX = 3.4028235e38
@@ -59,12 +55,18 @@ F32_MAX = 3.4028235e38
 # ---------------------------------------------------------------------------
 
 
-def _slab(rox, roy, roz, idx, idy, idz, fetch, lo_sl, hi_sl):
-    """Ray/AABB slab test against fetched (TOP_COLS, RB) rows; F32_MAX on
-    miss (pathtracer.wgsl:2906-2918)."""
+def _slab(rox, roy, roz, idx, idy, idz, fetch, base):
+    """Ray/AABB slab test against fetched (TOP_COLS, RB) rows for the child
+    group at column `base`; F32_MAX on miss (pathtracer.wgsl:2906-2918)."""
 
-    lox, loy, loz = fetch[lo_sl.start], fetch[lo_sl.start + 1], fetch[lo_sl.start + 2]
-    hix, hiy, hiz = fetch[hi_sl.start], fetch[hi_sl.start + 1], fetch[hi_sl.start + 2]
+    lo_sl = CH_LO
+    hi_sl = CH_HI
+    lox = fetch[base + lo_sl.start]
+    loy = fetch[base + lo_sl.start + 1]
+    loz = fetch[base + lo_sl.start + 2]
+    hix = fetch[base + hi_sl.start]
+    hiy = fetch[base + hi_sl.start + 1]
+    hiz = fetch[base + hi_sl.start + 2]
     tx1 = (lox - rox) * idx
     tx2 = (hix - rox) * idx
     ty1 = (loy - roy) * idy
@@ -77,14 +79,17 @@ def _slab(rox, roy, roz, idx, idy, idz, fetch, lo_sl, hi_sl):
     return jnp.where(ok, t_near, F32_MAX)
 
 
-def _decode_ref(fetch, leaf_c, h2_c, hi_c, lo_c):
-    """Child reference: >=0 internal row index, <0 encoded superleaf
-    (-(sl+1)). Three 8-bit factors, each bf16-exact, address 16.7M rows."""
+def _decode_ref(fetch, base):
+    """Child reference of the group at column `base`: >=0 internal row
+    index, <0 encoded superleaf (-(sl+1)). Three 8-bit factors, each
+    bf16-exact, address 16.7M rows."""
 
     rid = (
-        fetch[h2_c] * 65536.0 + fetch[hi_c] * 256.0 + fetch[lo_c]
+        fetch[base + CH_H2] * 65536.0
+        + fetch[base + CH_HI8] * 256.0
+        + fetch[base + CH_LO8]
     ).astype(jnp.int32)
-    is_leaf = fetch[leaf_c] > 0.5
+    is_leaf = fetch[base + CH_ISLEAF] > 0.5
     return jnp.where(is_leaf, -rid - 1, rid)
 
 
@@ -121,7 +126,7 @@ def _top_kernel(
         stack, sp, cnt, out, aabb = c
         return jnp.any((sp > 0) & (cnt < Q))
 
-    def body(c):
+    def body_once(c):
         stack, sp, cnt, out, aabb = c
         # Mosaic restriction: no sub-32-bit broadcasts/reshapes — every mask
         # is folded into an i32 comparison (sentinel -1 matches nothing).
@@ -139,39 +144,68 @@ def _top_kernel(
         out = jnp.where(qrow == cnt_slot[None, :], sl[None, :], out)
         cnt = cnt + em.astype(jnp.int32)
 
-        # Internal pop: fetch both children with one exact one-hot matmul.
-        # Inactive lanes get row -1 (matches nothing); Mosaic only supports
-        # 32-bit minor-dim broadcasts, so the mask lives in the i32 compare.
+        # Internal pop: fetch the WIDE node's 8 child groups with one exact
+        # one-hot matmul. Inactive lanes get row -1 (matches nothing);
+        # Mosaic only supports 32-bit minor-dim broadcasts, so the mask
+        # lives in the i32 compare.
         is_int = active & (node >= 0)
         row = jnp.where(is_int, node, -1)
         onehot = (col == row[None, :]).astype(jnp.bfloat16)
         fetch = jnp.dot(tab, onehot, preferred_element_type=jnp.float32)
 
-        tl = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_LMIN, COL_LMAX)
-        tr = _slab(rox, roy, roz, idx, idy, idz, fetch, COL_RMIN, COL_RMAX)
-        lref = _decode_ref(fetch, COL_L_ISLEAF, COL_L_H2, COL_L_HI, COL_L_LO)
-        rref = _decode_ref(fetch, COL_R_ISLEAF, COL_R_H2, COL_R_HI, COL_R_LO)
+        ts = []
+        refs = []
+        for ci in range(TOP_FAN):
+            base = ci * CH_STRIDE
+            t_c = _slab(rox, roy, roz, idx, idy, idz, fetch, base)
+            # Empty child slots carry ISLEAF = -1; force their t to
+            # F32_MAX so `t < best_t` can never push/emit them (their
+            # placeholder AABB does NOT slab-miss on its own).
+            used = fetch[base + CH_ISLEAF] > -0.5
+            ts.append(jnp.where(used, t_c, F32_MAX))
+            refs.append(_decode_ref(fetch, base))
+        # Sort the 8 (t, ref) pairs ascending by t per lane (Batcher
+        # network) so leaves emit near-first and pushes go far-first —
+        # best_t tightens fastest across rounds. Empty slots carry an
+        # inverted AABB -> t = F32_MAX, sorted last, never hit.
+        CES = [
+            # sort [0..3], sort [4..7] (5 CEs each), then odd-even merge.
+            (0, 1), (2, 3), (0, 2), (1, 3), (1, 2),
+            (4, 5), (6, 7), (4, 6), (5, 7), (5, 6),
+            (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+            (1, 2), (3, 4), (5, 6),
+        ]
+        for a, b in CES:
+            swap = ts[a] > ts[b]
+            ta = jnp.where(swap, ts[b], ts[a])
+            tb = jnp.where(swap, ts[a], ts[b])
+            ra = jnp.where(swap, refs[b], refs[a])
+            rb = jnp.where(swap, refs[a], refs[b])
+            ts[a], ts[b], refs[a], refs[b] = ta, tb, ra, rb
 
-        push_l = is_int & (tl < best_t)
-        push_r = is_int & (tr < best_t)
-        left_near = tl <= tr
-        near = jnp.where(left_near, lref, rref)
-        far = jnp.where(left_near, rref, lref)
-        # Mosaic cannot select between two i1 vectors (i8->i1 truncation);
-        # express the bool selects as logical ops instead.
-        push_near = (left_near & push_l) | (~left_near & push_r)
-        push_far = (left_near & push_r) | (~left_near & push_l)
-
-        sp_far = jnp.where(push_far, sp, -1)
-        stack = jnp.where(srow == sp_far[None, :], far[None, :], stack)
-        sp = sp + push_far.astype(jnp.int32)
-        sp_near = jnp.where(push_near, sp, -1)
-        stack = jnp.where(srow == sp_near[None, :], near[None, :], stack)
-        sp = sp + push_near.astype(jnp.int32)
+        # Pass 1 (near -> far): emit hit leaf children into free out slots.
+        rem = []
+        for ci in range(TOP_FAN):
+            hit_c = is_int & (ts[ci] < best_t)
+            em_c = hit_c & (refs[ci] < 0) & (cnt < Q)
+            sl_c = -refs[ci] - 1
+            cnt_slot = jnp.where(em_c, cnt, -1)
+            out = jnp.where(qrow == cnt_slot[None, :], sl_c[None, :], out)
+            cnt = cnt + em_c.astype(jnp.int32)
+            rem.append(hit_c & ~em_c)
+        # Pass 2 (far -> near): push internals and overflow leaves, so the
+        # nearest child is popped first next iteration.
+        for ci in range(TOP_FAN - 1, -1, -1):
+            sp_c = jnp.where(rem[ci], sp, -1)
+            stack = jnp.where(srow == sp_c[None, :], refs[ci][None, :], stack)
+            sp = sp + rem[ci].astype(jnp.int32)
         # RAY_DEBUG_INFO.num_aabb_checks (pathtracer.wgsl:2945-2951,
-        # bvh_custom.wgsl:53-55): two slab tests per internal pop.
-        aabb = aabb + jnp.where(is_int, 2, 0)
+        # bvh_custom.wgsl:53-55): TOP_FAN slab tests per internal pop —
+        # the honest count for this node arity.
+        aabb = aabb + jnp.where(is_int, TOP_FAN, 0)
         return stack, sp, cnt, out, aabb
+
+    body = body_once
 
     init = (
         stack_in_ref[0],

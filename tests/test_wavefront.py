@@ -79,18 +79,33 @@ def test_superleaf_structure():
     assert sorted(real.tolist()) == list(range(T))
     assert (sls.sl_tri_count <= sls.stride).all()
     assert sls.sl_tri_count.sum() == T
-    # Table refs decode in range.
+    # Table refs decode in range; every superleaf referenced exactly once.
     tab = sls.top_tab[: sls.top_rows]
-    for leaf_c, hi_c, lo_c in (
-        (sl_mod.COL_L_ISLEAF, sl_mod.COL_L_HI, sl_mod.COL_L_LO),
-        (sl_mod.COL_R_ISLEAF, sl_mod.COL_R_HI, sl_mod.COL_R_LO),
-    ):
-        ref = tab[:, hi_c] * 256 + tab[:, lo_c]
-        leaf = tab[:, leaf_c] > 0.5
+    leaf_refs = []
+    for c in range(sl_mod.TOP_FAN):
+        base = c * sl_mod.CH_STRIDE
+        # Real child slots: non-inverted AABB.
+        used = tab[:, base + sl_mod.CH_LO.start] < 1e38
+        ref = (
+            tab[:, base + sl_mod.CH_H2] * 65536
+            + tab[:, base + sl_mod.CH_HI8] * 256
+            + tab[:, base + sl_mod.CH_LO8]
+        )
+        leaf = (tab[:, base + sl_mod.CH_ISLEAF] > 0.5) & used
+        internal = ~(tab[:, base + sl_mod.CH_ISLEAF] > 0.5) & used
         assert (ref[leaf] < sls.sl_count).all()
-        assert (ref[~leaf] < sls.top_rows).all()
-    # bf16 rounding is outward.
-    assert (tab[:, sl_mod.COL_LMIN].min() <= tree.aabb_min.min() + 1e-3)
+        assert (ref[internal] < sls.top_rows).all()
+        leaf_refs.extend(ref[leaf].astype(int).tolist())
+    assert sorted(leaf_refs) == list(range(sls.sl_count))
+    # bf16 rounding is outward (child slot 0 of row 0 covers the root's
+    # first child; global min over used slots bounds the tree min).
+    used_lo = np.concatenate([
+        tab[:, c * sl_mod.CH_STRIDE + sl_mod.CH_LO.start : c * sl_mod.CH_STRIDE + sl_mod.CH_LO.stop][
+            tab[:, c * sl_mod.CH_STRIDE + sl_mod.CH_LO.start] < 1e38
+        ]
+        for c in range(sl_mod.TOP_FAN)
+    ])
+    assert used_lo.min() <= tree.aabb_min.min() + 1e-3
 
 
 @pytest.mark.parametrize("n_rays", [512])
