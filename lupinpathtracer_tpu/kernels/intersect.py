@@ -377,6 +377,9 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
 WF_Q = 8  # superleaf hits collected per ray per round (v5e sweep: Q=8 +
 # SP=1024 beat Q=4/SP=2048 by 11% on arealights1 — fewer rounds outweighs
 # the larger sort)
+WF_Q_TAIL = 32  # straggler rounds: few lanes x many remaining visits —
+# a high Q drains a deep ray's whole line in 1-2 rounds while the sort
+# stays small (QB_tail = C * Q_TAIL ~ Bp * 4 slots)
 WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
 
@@ -466,14 +469,19 @@ def closest_hit_wavefront(
         init["n_aabb"] = jnp.zeros(Bp, jnp.int32)
 
     def full_round(c):
-        return _wf_round(scene, W, eps, rop, rdp, c, S=S, PB=PB)
+        return _wf_round(scene, W, eps, rop, rdp, c, S=S, PB=PB, Q=WF_Q)
 
     # Stage 1: full-batch rounds while the straggler set is still large.
     # Stage 2: the few lanes with deep traversals (misses have no best-t to
     # prune with and can touch every superleaf on their line) are compacted
     # into a small buffer so their extra rounds cost a fraction of a full
     # sweep — the lockstep-tail fix the masked-stack walk never had.
-    C = min(Bp, max(2048, (Bp // 8 // 2048) * 2048))
+    # C is deliberately SMALL: with the 8-wide top tree + Q=8 emission one
+    # full round drains ~99.9% of lanes (measured: 86/131k pending on
+    # arealights1), and the tail's dominant cost is the (S + 16) x C
+    # gather/scatter of compacted state — C = 16k cost ~10 ms/round for 86
+    # live lanes. A second full round (rare) is cheaper than a big buffer.
+    C = min(Bp, 2048)
     if Bp > C:
         c = jax.lax.while_loop(
             lambda c: jnp.sum((c["sp"] > 0).astype(jnp.int32)) > C,
@@ -500,7 +508,7 @@ def closest_hit_wavefront(
         cc = {k: c[k][idx] for k in keys_1d}
         cc["sp"] = jnp.where(valid, cc["sp"], 0)
         cc["stack"] = c["stack"][:, idx]
-        cc = _wf_round(scene, W, eps, ro_c, rd_c, cc, S=S, PB=PB)
+        cc = _wf_round(scene, W, eps, ro_c, rd_c, cc, S=S, PB=PB, Q=WF_Q_TAIL)
 
         back = jnp.where(valid, idx, Bp)  # invalid slots dropped
         out = dict(c)
@@ -709,7 +717,7 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
     )
 
 
-def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
+def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB, Q=None):
     """One wavefront round over `Bp = rop.x.shape[0]` lanes: top-tree
     traversal -> pair grouping -> MXU pair intersection -> per-ray min.
     `c` carries stack/sp/best_*.
@@ -727,12 +735,14 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     Bp = rop.x.shape[0]
     SP = scene.sl_stride
     n_sl = scene.sl_count
-    QB = WF_Q * Bp
+    if Q is None:
+        Q = WF_Q
+    QB = Q * Bp
     n_pb = QB // PB
 
     sl, cnt, stack, sp, cnt_sl, aabb = pb.top_traverse(
         scene.top_tab, rop, rdp, c["best_t"], c["stack"], c["sp"],
-        S=S, Q=WF_Q, n_sl=n_sl,
+        S=S, Q=Q, n_sl=n_sl,
     )
     # ---- group by superleaf: one sort carrying the rays (empties last) ----
     pair_sl = sl.reshape(-1)  # (QB,) q-major: slot q*Bp + r holds ray r
@@ -740,8 +750,8 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     sidx = jnp.arange(QB, dtype=jnp.int32)
     skey, s_sidx, srox, sroy, sroz, srdx, srdy, srdz = jax.lax.sort(
         (key, sidx,
-         jnp.tile(rop.x, WF_Q), jnp.tile(rop.y, WF_Q), jnp.tile(rop.z, WF_Q),
-         jnp.tile(rdp.x, WF_Q), jnp.tile(rdp.y, WF_Q), jnp.tile(rdp.z, WF_Q)),
+         jnp.tile(rop.x, Q), jnp.tile(rop.y, Q), jnp.tile(rop.z, Q),
+         jnp.tile(rdp.x, Q), jnp.tile(rdp.y, Q), jnp.tile(rdp.z, Q)),
         num_keys=1,
     )
 
@@ -763,17 +773,17 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB):
     _, t_s, u_s, v_s, det_s, tri_s = jax.lax.sort(
         (s_sidx, t, u, v, det, gtri), num_keys=1
     )
-    t_q = t_s.reshape(WF_Q, Bp)
-    u_q = u_s.reshape(WF_Q, Bp)
-    v_q = v_s.reshape(WF_Q, Bp)
-    det_q = det_s.reshape(WF_Q, Bp)
-    tri_q = tri_s.reshape(WF_Q, Bp)
+    t_q = t_s.reshape(Q, Bp)
+    u_q = u_s.reshape(Q, Bp)
+    v_q = v_s.reshape(Q, Bp)
+    det_q = det_s.reshape(Q, Bp)
+    tri_q = tri_s.reshape(Q, Bp)
 
     # ---- per-ray min: Q+1 row compares, no scatters. Strict < keeps the
     # incumbent on ties (matches bvh_custom.wgsl:262 `dst < min_dst`).
     acc_t = c["best_t"]
     bu, bv, bdet, btri = c["best_u"], c["best_v"], c["best_det"], c["best_tri"]
-    for q in range(WF_Q):
+    for q in range(Q):
         wn = t_q[q] < acc_t
         acc_t = jnp.where(wn, t_q[q], acc_t)
         bu = jnp.where(wn, u_q[q], bu)
