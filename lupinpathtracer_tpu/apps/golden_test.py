@@ -94,7 +94,12 @@ def run_scene(scene_dir, name, args):
     tpu = build_scene_tpu(scene)
     results = []
     cams = cams[:1] if args.first_camera_only else cams
+    cam_filter = (
+        {int(c) for c in args.cameras.split(",")} if args.cameras else None
+    )
     for ci, cam in enumerate(cams):
+        if cam_filter is not None and ci not in cam_filter:
+            continue
         golden_path0 = os.path.join(scene_dir, f"render_cam{ci}.hdr")
         scale_k = max(1, int(round(1.0 / args.scale)))
         if os.path.exists(golden_path0):
@@ -121,7 +126,7 @@ def run_scene(scene_dir, name, args):
         )
         print(f"  {name} cam{ci}: {w}x{h} @ {accums * SPP_PER_PASS}spp",
               flush=True)
-        if w * h * SPP_PER_PASS > args.tile_threshold:
+        if args.ckpt or w * h * SPP_PER_PASS > args.tile_threshold:
             # Bound single-dispatch runtime: overlong dispatches trip the
             # TPU watchdog (the reference tiles for the same reason,
             # README.md:74-77). Small frames run untiled — the wavefront
@@ -136,12 +141,47 @@ def run_scene(scene_dir, name, args):
 
             image = renderer.new_accumulation_buffer(w, h)
             desc.accum_params.accumulate = True
-            for i in range(accums):
+            start_accum = 0
+            ckpt_path = None
+            if args.ckpt:
+                # Resume support for long full-workload runs (the reference's
+                # progressive accumulation analog, renderer.rs double
+                # buffering): the raw accumulation average + counter fully
+                # define progress, so a killed run restarts where it stopped.
+                os.makedirs(args.out_dir, exist_ok=True)
+                ckpt_path = os.path.join(
+                    args.out_dir, f"{name}_cam{ci}_{w}x{h}_ckpt.npz"
+                )
+                if os.path.exists(ckpt_path):
+                    ck = np.load(ckpt_path)
+                    if ck["image"].shape[:2] == (h, w) and int(
+                        ck["spp_per_pass"]
+                    ) == SPP_PER_PASS:
+                        image = jnp.asarray(ck["image"])
+                        start_accum = int(ck["counter"])
+                        print(f"    resumed at accum {start_accum}/{accums}",
+                              flush=True)
+            import time as _time
+
+            t_last = _time.time()
+            for i in range(start_accum, accums):
                 desc.accum_params.counter = i
                 for t in range(nx * ny):
                     desc.tile_params.tile_idx = t
                     image = renderer.pathtrace_scene(tpu, image, desc, baked)
                     _ = float(jnp.sum(image))  # sync: bound queue depth
+                if ckpt_path and (
+                    i + 1 == accums or _time.time() - t_last > args.ckpt_secs
+                ):
+                    np.savez(
+                        ckpt_path + ".tmp.npz",
+                        image=np.asarray(image),
+                        counter=i + 1,
+                        spp_per_pass=SPP_PER_PASS,
+                    )
+                    os.replace(ckpt_path + ".tmp.npz", ckpt_path)
+                    t_last = _time.time()
+                    print(f"    ckpt @ accum {i + 1}/{accums}", flush=True)
             img = np.asarray(image)
             desc.tile_params.enabled = False
         else:
@@ -222,6 +262,12 @@ def main(argv=None):
                    help="tile when W*H*spp_per_pass exceeds this")
     p.add_argument("--out_dir", default="out_golden",
                    help="where error renders are written")
+    p.add_argument("--cameras", default=None,
+                   help="comma-separated camera indices to run (default all)")
+    p.add_argument("--ckpt", action="store_true",
+                   help="checkpoint accumulation to out_dir and resume")
+    p.add_argument("--ckpt_secs", type=float, default=120.0,
+                   help="min seconds between checkpoints")
     args = p.parse_args(argv)
 
     names = (

@@ -369,7 +369,7 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
         trow = jax.lax.broadcasted_iota(jnp.int32, (TB, PB), 0)
 
         def body(k, carry):
-            bt, bu, bv, bdet, bidx = carry
+            bt, bidx = carry
             off = k * TB
             Wblk = jnp.concatenate(
                 [
@@ -411,28 +411,43 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
             blk_idx = jnp.min(
                 jnp.where(at_min, trow, 2**30), axis=0
             )
-            onehot = trow == blk_idx[None, :]
-
-            def pick(x):
-                return jnp.sum(jnp.where(onehot, x, 0.0), axis=0)
-
+            # u/v/det of the winner are NOT extracted here: the 3 pick()
+            # reductions over (TB, PB) were ~30% of the kernel's VPU work.
+            # The winner's attributes are recomputed once per item below
+            # from its local index (exact f32, one tiny one-hot matmul).
             upd = blk_t < bt
             return (
                 jnp.where(upd, blk_t, bt),
-                jnp.where(upd, pick(u), bu),
-                jnp.where(upd, pick(v), bv),
-                jnp.where(upd, pick(det), bdet),
                 jnp.where(upd, blk_idx + off, bidx),
             )
 
         init = (
             jnp.full((PB,), F32_MAX),
-            jnp.zeros((PB,), jnp.float32),
-            jnp.zeros((PB,), jnp.float32),
-            jnp.zeros((PB,), jnp.float32),
             jnp.zeros((PB,), jnp.int32),
         )
-        bt, bu, bv, bdet, bidx = jax.lax.fori_loop(0, num_blocks, body, init)
+        bt, bidx = jax.lax.fori_loop(0, num_blocks, body, init)
+
+        # Winner recompute: one-hot fetch the winning triangle's 4x10
+        # coefficient rows (f32 dot — Mosaic decomposes exactly) and
+        # re-evaluate det/nu/nv at the single winning candidate per lane.
+        # f32 here is MORE precise than the in-loop 3-pass bf16 product;
+        # u/v are shading barycentrics and det only contributes its sign.
+        srow_sp = jax.lax.broadcasted_iota(jnp.int32, (SP, PB), 0)
+        ohw = (srow_sp == bidx[None, :]).astype(jnp.float32)  # (SP, PB)
+        dims2 = (((1,), (0,)), ((), ()))
+
+        def pick_rows(f):
+            return jax.lax.dot_general(
+                W_ref[f], ohw, dims2, preferred_element_type=jnp.float32
+            )  # (10, PB)
+
+        wdet = jnp.sum(pick_rows(0) * RT, axis=0)
+        wnu = jnp.sum(pick_rows(1) * RT, axis=0)
+        wnv = jnp.sum(pick_rows(2) * RT, axis=0)
+        wd = 1.0 / wdet
+        bu = wnu * wd
+        bv = wnv * wd
+        bdet = wdet
 
         # Blend only the lanes whose sorted position belongs to this work
         # item's superleaf segment; other lanes keep the value written by
@@ -487,7 +502,9 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
     P = ro.x.shape[0]
     assert P % PB == 0
     n_pb = P // PB
-    TB = min(SP, 512)
+    # Keep the (4*TB, PB) f32 intermediates at <=2 MB regardless of PB so
+    # VMEM pressure is PB-invariant.
+    TB = min(SP, max(128, (1 << 17) // PB))
     assert SP % TB == 0
     sub = PB // 128
     if msl is None:
