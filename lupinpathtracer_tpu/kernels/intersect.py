@@ -69,6 +69,17 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Sort-free packet traversal (kernels/pallas_packet.py) for single-level
+# scenes; the sort-carried wavefront remains the two-level / debug-counter
+# backend. Set LUPIN_NO_PACKET=1 to force the sort backend everywhere.
+def _use_packet(scene) -> bool:
+    import os
+
+    if os.environ.get("LUPIN_NO_PACKET"):
+        return False
+    return not scene.two_level and not scene.top_root_is_leaf
+
+
 # ---------------------------------------------------------------------------
 # Dense triangle coefficient matrix
 # ---------------------------------------------------------------------------
@@ -409,6 +420,17 @@ def closest_hit_wavefront(
         # hoists this out of bounce loops.
         W = build_tri_matrix(
             scene.wt_v0[:, :need], scene.wt_e1[:, :need], scene.wt_e2[:, :need]
+        )
+
+    if not with_counts and _use_packet(scene):
+        from . import pallas_packet
+
+        t, u, v, det, tri = pallas_packet.packet_traverse(
+            scene, ro, rd, eps, W, active=active
+        )
+        return HitInfo(
+            hit=t < F32_MAX, dst=t, u=u, v=v,
+            tri=jnp.maximum(tri, 0), backside=det > 0.0,
         )
 
     pad = (-B) % WF_RAY_BLOCK

@@ -215,6 +215,7 @@ def build_scene_tpu(
     bvh_leaf_size: int = 4,
     validate: bool = True,
     two_level: bool | None = None,
+    sl_stride_opt: int | None = None,
 ) -> SceneTPU:
     """Flatten + build acceleration structures + move to device.
 
@@ -518,7 +519,7 @@ def build_scene_tpu(
         # world-scaled, bvh_custom.wgsl:30-35).
         from ..accel import superleaf as sl_mod
 
-        stride = sl_mod.pick_stride(Tw)
+        stride = sl_stride_opt or sl_mod.pick_stride(Tw)
         orders, valids = [], []
         msl_lo_l, msl_hi_l = [], []
         msl_of_mesh = {}
@@ -606,7 +607,7 @@ def build_scene_tpu(
 
         lo, hi = bvh_mod.tri_bounds(wt_v0, wt_v0 + wt_e1, wt_v0 + wt_e2)
         tree = bvh_mod.build_bvh(lo, hi, max_leaf_size=bvh_leaf_size)
-        sls = sl_mod.build_superleaves(tree, Tw)
+        sls = sl_mod.build_superleaves(tree, Tw, stride=sl_stride_opt)
         # Repack the soup into fixed-stride superleaf blocks (the wavefront
         # kernel addresses a superleaf's triangles purely by its id).
         order = sls.order.astype(np.int64)

@@ -109,7 +109,10 @@ def test_superleaf_structure():
 
 
 @pytest.mark.parametrize("n_rays", [512])
-def test_wavefront_matches_stack_walk(n_rays, rng):
+@pytest.mark.parametrize("backend", ["packet", "sort"])
+def test_wavefront_matches_stack_walk(n_rays, backend, rng, monkeypatch):
+    if backend == "sort":
+        monkeypatch.setenv("LUPIN_NO_PACKET", "1")
     scene = _tri_sphere_scene()
     tpu = build_scene_tpu(scene, dense_max_tris=64)
     assert tpu.use_bvh and tpu.sl_count >= 2
@@ -145,6 +148,53 @@ def test_wavefront_single_superleaf(rng):
     # error on t (pallas_bvh._pair_kernel) — well under golden tolerances.
     np.testing.assert_allclose(
         np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("n_rays", [500])  # non-multiple of the block size
+def test_packet_matches_stack_walk(n_rays, rng):
+    """The sort-free packet backend (kernels/pallas_packet.py) must agree
+    with the masked-stack reference walk, including the active mask."""
+
+    from lupinpathtracer_tpu.kernels import pallas_packet
+
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    assert tpu.use_bvh and tpu.sl_count >= 2 and not tpu.two_level
+
+    ro, rd = _random_rays(rng, n_rays)
+    ref = intersect.closest_hit_bvh(tpu, ro, rd, 1e-4)
+    W4 = intersect.scene_tri_matrix(tpu)
+    t, u, v, det, tri = pallas_packet.packet_traverse(tpu, ro, rd, 1e-4, W4)
+
+    hit = np.asarray(t) < intersect.F32_MAX
+    np.testing.assert_array_equal(hit, np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    # All-f32 math (HIGHEST dots): tighter than the bf16 hi/lo sort path.
+    np.testing.assert_allclose(
+        np.asarray(t)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+    )
+    same = (np.asarray(tri) == np.asarray(ref.tri))[h]
+    assert same.mean() > 0.95  # shared-edge ties may pick either triangle
+    agree = same & h[h]
+    np.testing.assert_allclose(
+        np.asarray(u)[h][agree], np.asarray(ref.u)[h][agree],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # Active mask: masked lanes come back as misses, others unchanged.
+    act = jnp.asarray(rng.uniform(size=n_rays) < 0.5)
+    t2, *_ = pallas_packet.packet_traverse(tpu, ro, rd, 1e-4, W4, active=act)
+    a = np.asarray(act)
+    assert (np.asarray(t2)[~a] == intersect.F32_MAX).all()
+    np.testing.assert_array_equal(np.asarray(t2)[a], np.asarray(t)[a])
+
+    # And closest_hit_wavefront routes through the packet backend for
+    # single-level scenes (LUPIN_NO_PACKET unset in tests).
+    got = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+    np.testing.assert_array_equal(np.asarray(got.hit), hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[h], np.asarray(t)[h], rtol=0, atol=0
     )
 
 
