@@ -885,6 +885,51 @@ def closest_hit(
     return apply_active(_fixup_backside(scene, h))
 
 
+def _packet_hit_attrs(scene, ro: V3, rd: V3, eps, W=None, active=None):
+    """One packet-kernel call returning (HitInfo, InterpAttrs): traversal
+    AND winner-attribute interpolation fused (pallas_packet._attr_phase) —
+    no wavefront_fetch_attrs sorts."""
+
+    from . import pallas_bvh as pb
+    from . import pallas_packet
+
+    need = scene.msl_count * scene.sl_stride
+    if W is None or W.shape[2] != need:
+        W = build_tri_matrix(
+            scene.wt_v0[:, :need], scene.wt_e1[:, :need], scene.wt_e2[:, :need]
+        )
+    t, u, v, det, tri, r = pallas_packet.packet_traverse(
+        scene, ro, rd, eps, W, active=active, with_attrs=True
+    )
+    h = _fixup_backside(
+        scene,
+        HitInfo(
+            hit=t < F32_MAX, dst=t, u=u, v=v,
+            tri=jnp.maximum(tri, 0), backside=det > 0.0,
+        ),
+    )
+    tan = bit = None
+    if scene.any_normal_maps:
+        tan = V3(r[pb.IA_TAN.start], r[pb.IA_TAN.start + 1],
+                 r[pb.IA_TAN.start + 2])
+        bit = V3(r[pb.IA_BIT.start], r[pb.IA_BIT.start + 1],
+                 r[pb.IA_BIT.start + 2])
+    ia = InterpAttrs(
+        n=V3(r[pb.IA_N.start], r[pb.IA_N.start + 1], r[pb.IA_N.start + 2]),
+        gn=V3(r[pb.IA_GN.start], r[pb.IA_GN.start + 1], r[pb.IA_GN.start + 2]),
+        tu=r[pb.IA_TU],
+        tv=r[pb.IA_TV],
+        has_uv=r[pb.IA_HAS_UV] > 0.0,
+        vc=V3(r[pb.IA_VC.start], r[pb.IA_VC.start + 1], r[pb.IA_VC.start + 2]),
+        vca=r[pb.IA_VCA],
+        det_sign=r[pb.IA_DET_SIGN],
+        mat_id=r[pb.IA_MAT_ID].astype(jnp.int32),
+        tan=tan,
+        bit=bit,
+    )
+    return h, ia
+
+
 def closest_hit_attrs(
     scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, alive_count=None,
     active=None,
@@ -908,6 +953,8 @@ def closest_hit_attrs(
     if scene.use_bvh:
         if scene.sl_count == 0:
             return closest_hit(scene, ro, rd, eps, W=W, active=active), None
+        if _use_packet(scene):
+            return _packet_hit_attrs(scene, ro, rd, eps, W=W, active=active)
         h = closest_hit(scene, ro, rd, eps, W=W, active=active)
         return h, wavefront_fetch_attrs(scene, h)
     from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas

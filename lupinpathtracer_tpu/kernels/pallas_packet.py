@@ -89,11 +89,19 @@ def _pack_top(tab: jnp.ndarray):
 
 def _packet_kernel(
     geo_ref, refs_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-    act_ref, W_ref, eps_ref,
-    t_ref, u_ref, v_ref, det_ref, idx_ref,
-    stack_ref, wv_ref, bt_ref, bu_ref, bv_ref, bd_ref, bi_ref, sem_ref,
-    *, SP, PBK, interpret,
+    act_ref, W_ref, *rest,
+    SP, PBK, AWOUT, interpret,
 ):
+    # Optional attr phase reshapes the tail of the signature:
+    #   with attrs: A_ref, eps | outs + ia_ref | scratch + av_ref
+    if AWOUT:
+        (A_ref, eps_ref, t_ref, u_ref, v_ref, det_ref, idx_ref, ia_ref,
+         stack_ref, wv_ref, bt_ref, bu_ref, bv_ref, bd_ref, bi_ref,
+         av_ref, sem_ref) = rest
+    else:
+        (eps_ref, t_ref, u_ref, v_ref, det_ref, idx_ref,
+         stack_ref, wv_ref, bt_ref, bu_ref, bv_ref, bd_ref, bi_ref,
+         sem_ref) = rest
     eps = eps_ref[0]
 
     def vec(ref):
@@ -250,14 +258,113 @@ def _packet_kernel(
     out(det_ref, bd_ref[...])
     out(idx_ref, bi_ref[...])
 
+    if AWOUT:
+        _attr_phase(
+            A_ref, av_ref, ia_ref, sem_ref,
+            bt_ref[...], bu_ref[...], bv_ref[...], bi_ref[...],
+            SP=SP, PBK=PBK, AWOUT=AWOUT, interpret=interpret,
+        )
 
-def packet_traverse(scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None):
+
+# Compact DMA slice of the packed attribute matrix: IA inputs live in
+# columns [0, ATTR_BIT.stop) plus DET_SIGN/MAT_ID at 58/59 — one 64-wide
+# column slice covers all of them (pallas_intersect.ATTR_* layout).
+AWC = 64
+
+
+def _attr_phase(A_ref, av_ref, ia_ref, sem_ref, bt, bu, bv, bi,
+                *, SP, PBK, AWOUT, interpret):
+    """Deferred winner-attribute interpolation, in-kernel.
+
+    After the walk each lane's winner lives in ONE superleaf; the block
+    loops over its DISTINCT winning superleaves (typically a handful):
+    DMA that superleaf's attribute slice, one-hot-fetch the winning rows
+    for the lanes it owns, interpolate at the winner barycentrics, blend.
+    Replaces wavefront_fetch_attrs' two QB-sized sorts + grouped kernel
+    (the analog of the reference reading vertex attrs at the hit point,
+    pathtracer.wgsl:1729-1770)."""
+
+    from . import pallas_intersect as pk
+    from .pallas_bvh import (
+        IA_BIT, IA_DET_SIGN, IA_GN, IA_HAS_UV, IA_MAT_ID, IA_N, IA_ROWS_NM,
+        IA_TAN, IA_TU, IA_TV, IA_VC, IA_VCA,
+    )
+
+    ia_ref[0] = jnp.zeros((AWOUT, PBK), jnp.float32)
+    hitm = bt < F32_MAX
+    wsl = jnp.where(hitm, bi // SP, 2**30)
+    wli = bi % SP
+    iota_sp = jax.lax.broadcasted_iota(jnp.int32, (SP, PBK), 0)
+    dims_oh = (((0,), (0,)), ((), ()))  # (SP, AWC) x (SP, PBK) -> (AWC, PBK)
+
+    def cond(rem):
+        return jnp.any(rem)
+
+    def body(rem):
+        sl_cur = jnp.min(jnp.where(rem, wsl, 2**30))
+        if interpret:
+            av_ref[...] = A_ref[pl.ds(sl_cur * SP, SP), :AWC]
+        else:
+            dma = pltpu.make_async_copy(
+                A_ref.at[pl.ds(sl_cur * SP, SP), :AWC], av_ref, sem_ref
+            )
+            dma.start()
+            dma.wait()
+        sel = rem & (wsl == sl_cur)
+        ohw = (
+            iota_sp == jnp.where(sel, wli, -1)[None, :]
+        ).astype(jnp.float32)
+        at = jax.lax.dot_general(
+            av_ref[...], ohw, dims_oh,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (AWC, PBK)
+
+        hu, hv = bu, bv
+        hw = 1.0 - hu - hv
+        rows = [jnp.zeros((PBK,), jnp.float32)] * AWOUT
+
+        def interp(s0, s1, s2, c):
+            return at[s0.start + c] * hw + at[s1.start + c] * hu + (
+                at[s2.start + c] * hv
+            )
+
+        for c in range(3):
+            rows[IA_N.start + c] = interp(pk.ATTR_N0, pk.ATTR_N1, pk.ATTR_N2, c)
+            rows[IA_GN.start + c] = at[pk.ATTR_GN.start + c]
+            rows[IA_VC.start + c] = interp(pk.ATTR_C0, pk.ATTR_C1, pk.ATTR_C2, c)
+        rows[IA_TU] = interp(pk.ATTR_UV0, pk.ATTR_UV1, pk.ATTR_UV2, 0)
+        rows[IA_TV] = interp(pk.ATTR_UV0, pk.ATTR_UV1, pk.ATTR_UV2, 1)
+        rows[IA_HAS_UV] = at[pk.ATTR_HAS_UV]
+        rows[IA_VCA] = interp(pk.ATTR_C0, pk.ATTR_C1, pk.ATTR_C2, 3)
+        rows[IA_DET_SIGN] = at[pk.ATTR_DET_SIGN]
+        rows[IA_MAT_ID] = at[pk.ATTR_MAT_ID]
+        if AWOUT >= IA_ROWS_NM:
+            for c in range(3):
+                rows[IA_TAN.start + c] = at[pk.ATTR_TAN.start + c]
+                rows[IA_BIT.start + c] = at[pk.ATTR_BIT.start + c]
+        new = jnp.stack(rows, axis=0)  # (AWOUT, PBK)
+        selw = sel[None, :]
+        ia_ref[0] = jnp.where(selw, new, ia_ref[0])
+        return rem & ~sel
+
+    jax.lax.while_loop(cond, body, hitm)
+
+
+def packet_traverse(
+    scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None,
+    with_attrs=False,
+):
     """Closest hit over all rays via per-block packet traversal.
 
     Same contract as the sort-based composition in
     intersect.closest_hit_wavefront: returns (t, u, v, det, tri) with
-    t = F32_MAX on miss, tri a padded-soup triangle index. Single-level
+    t = F32_MAX on miss, tri a padded-soup triangle index — plus, when
+    `with_attrs`, an (AWOUT, B) matrix of interpolated winner shading
+    rows (pallas_bvh.IA_* layout, zeros on miss lanes). Single-level
     scenes only (two-level instancing keeps the sort backend for now)."""
+
+    from .pallas_bvh import IA_ROWS, IA_ROWS_NM
 
     assert not scene.two_level, "packet backend: single-level scenes only"
     assert not scene.top_root_is_leaf, "single-superleaf scenes are dense"
@@ -285,6 +392,9 @@ def packet_traverse(scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None):
     n_blk = Bp // PBK
     sub = PBK // 128
     interpret = jax.default_backend() != "tpu"
+    AWOUT = 0
+    if with_attrs:
+        AWOUT = IA_ROWS_NM if scene.any_normal_maps else IA_ROWS
 
     def shp(x):
         return x.reshape(n_blk, sub, 128)
@@ -292,13 +402,30 @@ def packet_traverse(scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None):
     blk_spec = pl.BlockSpec(
         (1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    out_shapes = tuple(
+    out_shapes = [
         jax.ShapeDtypeStruct((n_blk, sub, 128), dt)
         for dt in (jnp.float32,) * 4 + (jnp.int32,)
-    )
-    t, u, v, det, idx = pl.pallas_call(
+    ]
+    out_specs = [blk_spec] * 5
+    attr_in, attr_in_specs = [], []
+    scr_attr = []
+    if with_attrs:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_blk, AWOUT, PBK), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, AWOUT, PBK), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        attr_in = [scene.wt_attr]
+        attr_in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scr_attr = [pltpu.VMEM((SP, AWC), jnp.float32)]
+
+    res = pl.pallas_call(
         functools.partial(
-            _packet_kernel, SP=SP, PBK=PBK, interpret=interpret
+            _packet_kernel, SP=SP, PBK=PBK, AWOUT=AWOUT, interpret=interpret
         ),
         grid=(n_blk,),
         in_specs=[
@@ -306,12 +433,11 @@ def packet_traverse(scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None):
             pl.BlockSpec(memory_space=pltpu.SMEM),   # refs (scalar reads)
         ]
         + [blk_spec] * 7
-        + [
-            pl.BlockSpec(memory_space=pltpu.ANY),    # W4 stays in HBM
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
-        ],
-        out_specs=(blk_spec,) * 5,
-        out_shape=out_shapes,
+        + [pl.BlockSpec(memory_space=pltpu.ANY)]     # W4 stays in HBM
+        + attr_in_specs
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],   # eps
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=[
             pltpu.SMEM((SMAX,), jnp.int32),
             pltpu.VMEM((4, 10, SP), jnp.float32),
@@ -320,8 +446,9 @@ def packet_traverse(scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None):
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        ]
+        + scr_attr
+        + [pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -329,11 +456,15 @@ def packet_traverse(scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None):
     )(
         geo, refs,
         shp(rox), shp(roy), shp(roz), shp(rdx), shp(rdy), shp(rdz),
-        shp(act), W4,
+        shp(act), W4, *attr_in,
         jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)),
     )
 
     def cut(a):
         return a.reshape(Bp)[:B]
 
-    return cut(t), cut(u), cut(v), cut(det), cut(idx)
+    t, u, v, det, idx = (cut(a) for a in res[:5])
+    if not with_attrs:
+        return t, u, v, det, idx
+    ia = res[5].transpose(1, 0, 2).reshape(AWOUT, Bp)[:, :B]
+    return t, u, v, det, idx, ia

@@ -198,6 +198,41 @@ def test_packet_matches_stack_walk(n_rays, rng):
     )
 
 
+def test_packet_fused_attrs_match_fetch(rng):
+    """_packet_hit_attrs (traversal + in-kernel winner attr interpolation)
+    must equal closest_hit_wavefront + wavefront_fetch_attrs."""
+
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    ro, rd = _random_rays(rng, 512)
+
+    h_ref = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+    ia_ref = intersect.wavefront_fetch_attrs(tpu, h_ref)
+    h, ia = intersect._packet_hit_attrs(tpu, ro, rd, 1e-4)
+
+    np.testing.assert_array_equal(np.asarray(h.hit), np.asarray(h_ref.hit))
+    hit = np.asarray(h_ref.hit)
+    same = (np.asarray(h.tri) == np.asarray(h_ref.tri)) & hit
+    assert same[hit].mean() > 0.95  # shared-edge ties
+    for name, a, b in [
+        ("n.x", ia.n.x, ia_ref.n.x),
+        ("gn.z", ia.gn.z, ia_ref.gn.z),
+        ("tu", ia.tu, ia_ref.tu),
+        ("vca", ia.vca, ia_ref.vca),
+        ("det_sign", ia.det_sign, ia_ref.det_sign),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a)[same], np.asarray(b)[same], rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ia.mat_id)[same], np.asarray(ia_ref.mat_id)[same]
+    )
+    # Miss lanes zeroed, like wavefront_fetch_attrs.
+    assert (np.asarray(ia.n.x)[~hit] == 0.0).all()
+    assert (np.asarray(ia.mat_id)[~hit] == 0).all()
+
+
 def test_wavefront_attr_fetch_matches_gathers(rng):
     """wavefront_fetch_attrs (sort + one-hot MXU fetch/interp + unsort) must
     equal the direct wt-array gather-and-interpolate path for every hit
