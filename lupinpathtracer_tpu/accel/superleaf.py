@@ -50,6 +50,12 @@ CH_LO8 = 9
 TOP_COLS = TOP_FAN * CH_STRIDE  # 80
 
 
+# Sub-superleaf granularity: each superleaf's triangle block is split into
+# NSUB chunks with their own AABBs so the packet kernel can skip chunks no
+# ray in the block wants (kernels/pallas_packet.py).
+NSUB = 8
+
+
 @dataclass
 class Superleaves:
     """Host-side result of the decomposition."""
@@ -66,6 +72,9 @@ class Superleaves:
     top_depth: int
     sl_lo: np.ndarray = None  # (n_sl, 3) superleaf AABBs (object space)
     sl_hi: np.ndarray = None
+    # (n_sl, NSUB, 8) f32 [lo3, hi3, used, 0] sub-chunk AABBs; None unless
+    # triangle bounds were provided to build_superleaves.
+    sl_sub: np.ndarray = None
 
 
 def _bf16_down(x: np.ndarray) -> np.ndarray:
@@ -134,7 +143,8 @@ def pick_stride(num_tris: int, max_top_rows: int = 1024) -> int:
 
 
 def build_superleaves(
-    bvh: BvhArrays, num_tris: int, stride: int | None = None
+    bvh: BvhArrays, num_tris: int, stride: int | None = None,
+    tri_lo: np.ndarray | None = None, tri_hi: np.ndarray | None = None,
 ) -> Superleaves:
     if stride is None:
         stride = pick_stride(num_tris)
@@ -177,6 +187,28 @@ def build_superleaves(
         lo[j] = bvh.aabb_min[node]
         hi[j] = bvh.aabb_max[node]
 
+    # Sub-chunk AABBs for the packet kernel's masked mini-visits. Padding
+    # rows repeat the subtree's first triangle id, so their bounds only
+    # conservatively inflate a chunk; fully-empty chunks carry an inverted
+    # box + used = -1.
+    sl_sub = None
+    if tri_lo is not None:
+        # Chunks stay >= 128 triangles so the kernel's lane-dim sub-slices
+        # keep full-lane alignment.
+        nsub = max(1, min(NSUB, stride // 128))
+        cs = stride // nsub
+        lo_r = tri_lo[order].reshape(n_sl, nsub, cs, 3)
+        hi_r = tri_hi[order].reshape(n_sl, nsub, cs, 3)
+        vmask = valid.reshape(n_sl, nsub, cs)
+        used = vmask.any(axis=2)
+        big = np.float32(3e38)
+        lo_m = np.where(vmask[..., None], lo_r, big).min(axis=2)
+        hi_m = np.where(vmask[..., None], hi_r, -big).max(axis=2)
+        sl_sub = np.zeros((n_sl, nsub, 8), np.float32)
+        sl_sub[..., 0:3] = np.where(used[..., None], lo_m, big)
+        sl_sub[..., 3:6] = np.where(used[..., None], hi_m, -big)
+        sl_sub[..., 6] = np.where(used, 1.0, -1.0)
+
     # Top tree over superleaf AABBs.
     tab, rows, root_is_leaf, depth = build_top_table(lo, hi)
     if root_is_leaf:
@@ -193,6 +225,7 @@ def build_superleaves(
             top_depth=1,
             sl_lo=lo,
             sl_hi=hi,
+            sl_sub=sl_sub,
         )
 
     return Superleaves(
@@ -208,6 +241,7 @@ def build_superleaves(
         top_depth=depth,
         sl_lo=lo,
         sl_hi=hi,
+        sl_sub=sl_sub,
     )
 
 

@@ -88,9 +88,9 @@ def _pack_top(tab: jnp.ndarray):
 
 
 def _packet_kernel(
-    geo_ref, refs_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-    act_ref, W_ref, *rest,
-    SP, PBK, AWOUT, interpret,
+    geo_ref, refs_ref, sub_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
+    rdz_ref, act_ref, W_ref, *rest,
+    SP, NSUB, PBK, AWOUT, interpret,
 ):
     # Optional attr phase reshapes the tail of the signature:
     #   with attrs: A_ref, eps | outs + ia_ref | scratch + av_ref
@@ -132,22 +132,21 @@ def _packet_kernel(
     stack_ref[0] = 0  # root row, internal (leaf bit clear)
     any_active = jnp.any(active)
 
-    iota_sp = jax.lax.broadcasted_iota(jnp.int32, (SP, PBK), 0)
-    pow2 = 1 << jax.lax.broadcasted_iota(jnp.int32, (TOP_FAN, 1), 0)
+    SPB = SP // NSUB
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (SPB, PBK), 0)
     dims_t = (((0,), (0,)), ((), ()))  # contract dim 0 x dim 0
     dims_oh = (((1,), (0,)), ((), ()))
 
-    def body(sp):
-        pref = stack_ref[sp - 1]
-        is_leaf = pref & 1
-        ref = pref >> 1
+    def slab_bits(row, bt):
+        """(8, PBK) slab test of a [lo3, hi3, used, 0] row group against
+        all rays, folded to ONE scalar bitmask (bit c = any ray hits child
+        c closer than its best). Empty slots carry an inverted box that
+        PASSES the slab test (near=-huge / far=+huge) — masked on the
+        used = -1 marker (col 6)."""
 
-        # ---- internal node: (8, PBK) slab test, one bitmask per pop ----
-        # The row read is clamped so a leaf pop never reads a leaf id as a
-        # row index; the result is discarded via the bits mask below.
-        rref = jnp.where(is_leaf == 0, ref, 0)
-        row = geo_ref[rref]  # (TOP_FAN, 8)
-        bt = bt_ref[...]
+        pow2 = 1 << jax.lax.broadcasted_iota(
+            jnp.int32, (row.shape[0], 1), 0
+        )
         tx1 = (row[:, 0:1] - rox[None, :]) * ivx[None, :]
         tx2 = (row[:, 3:4] - rox[None, :]) * ivx[None, :]
         ty1 = (row[:, 1:2] - roy[None, :]) * ivy[None, :]
@@ -162,9 +161,6 @@ def _packet_kernel(
             jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
             jnp.maximum(tz1, tz2),
         )
-        # Empty slots carry an inverted box that PASSES the slab test
-        # (near=-huge / far=+huge) — mask on ISLEAF = -1
-        # (superleaf.build_top_table's empty marker).
         hit8 = (
             (far >= near)
             & (far > 0.0)
@@ -172,9 +168,20 @@ def _packet_kernel(
             & (row[:, 6:7] > -0.5)
             & active[None, :]
         )
-        bits = jnp.sum(
+        return jnp.sum(
             jnp.max(jnp.where(hit8, pow2, 0), axis=1), dtype=jnp.int32
         )
+
+    def body(sp):
+        pref = stack_ref[sp - 1]
+        is_leaf = pref & 1
+        ref = pref >> 1
+
+        # ---- internal node: (8, PBK) slab test, one bitmask per pop ----
+        # The row read is clamped so a leaf pop never reads a leaf id as a
+        # row index; the result is discarded via the bits mask below.
+        rref = jnp.where(is_leaf == 0, ref, 0)
+        bits = slab_bits(geo_ref[rref], bt_ref[...])
         bits = jnp.where(is_leaf == 0, bits, 0)
 
         sp2 = sp - 1
@@ -187,7 +194,9 @@ def _packet_kernel(
 
             sp2 = sp2 + pushed
 
-        # ---- leaf: DMA the superleaf's coefficient block, MXU closest hit
+        # ---- leaf: ONE DMA of the superleaf's coefficient block, then MXU
+        # closest hit on only the sub-chunks some ray's slab test wants
+        # (sl_sub masked mini-visits — typically 2-3 of NSUB).
         @pl.when(is_leaf == 1)
         def _leaf():
             if interpret:
@@ -199,49 +208,66 @@ def _packet_kernel(
                 dma.start()
                 dma.wait()
 
-            def ev(f):
-                return jax.lax.dot_general(
-                    wv_ref[f], RT, dims_t,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )  # (SP, PBK)
+            lref = jnp.where(is_leaf == 1, ref, 0)
+            sbits = slab_bits(sub_ref[lref], bt_ref[...])
 
-            det = ev(0)
-            nu = ev(1)
-            nv = ev(2)
-            nt = ev(3)
-            d = 1.0 / det
-            tt = nt * d
-            uu = nu * d
-            vv = nv * d
-            valid = (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt >= eps)
-            tm = jnp.where(valid, tt, F32_MAX)
-            tmin = jnp.min(tm, axis=0)  # (PBK,)
-            at_min = (tm <= tmin[None, :]) & valid
-            li = jnp.min(jnp.where(at_min, iota_sp, 2**30), axis=0)
+            for sb in range(NSUB):
+                on = (sbits >> sb) & 1
 
-            bt0 = bt_ref[...]
-            upd = (tmin < bt0) & active
-            # Winner u/v/det via an exact f32 one-hot fetch of the winning
-            # triangle's coefficient rows (same scheme as _pair_kernel).
-            ohw = (iota_sp == li[None, :]).astype(jnp.float32)
+                @pl.when(on == 1)
+                def _sub(sb=sb):
+                    lo = sb * SPB
 
-            def pick(f):
-                return jax.lax.dot_general(
-                    wv_ref[f], ohw, dims_oh,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )  # (10, PBK)
+                    def ev(f):
+                        return jax.lax.dot_general(
+                            wv_ref[f, :, pl.ds(lo, SPB)], RT, dims_t,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # (SPB, PBK)
 
-            wdet = jnp.sum(pick(0) * RT, axis=0)
-            wnu = jnp.sum(pick(1) * RT, axis=0)
-            wnv = jnp.sum(pick(2) * RT, axis=0)
-            wd = 1.0 / wdet
-            bt_ref[...] = jnp.where(upd, tmin, bt0)
-            bu_ref[...] = jnp.where(upd, wnu * wd, bu_ref[...])
-            bv_ref[...] = jnp.where(upd, wnv * wd, bv_ref[...])
-            bd_ref[...] = jnp.where(upd, wdet, bd_ref[...])
-            bi_ref[...] = jnp.where(upd, ref * SP + li, bi_ref[...])
+                    det = ev(0)
+                    nu = ev(1)
+                    nv = ev(2)
+                    nt = ev(3)
+                    d = 1.0 / det
+                    tt = nt * d
+                    uu = nu * d
+                    vv = nv * d
+                    valid = (
+                        (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt >= eps)
+                    )
+                    tm = jnp.where(valid, tt, F32_MAX)
+                    tmin = jnp.min(tm, axis=0)  # (PBK,)
+                    at_min = (tm <= tmin[None, :]) & valid
+                    li = jnp.min(
+                        jnp.where(at_min, iota_sub, 2**30), axis=0
+                    )
+
+                    bt0 = bt_ref[...]
+                    upd = (tmin < bt0) & active
+                    # Winner u/v/det via an exact f32 one-hot fetch of the
+                    # winning triangle's coefficient rows (as _pair_kernel).
+                    ohw = (iota_sub == li[None, :]).astype(jnp.float32)
+
+                    def pick(f):
+                        return jax.lax.dot_general(
+                            wv_ref[f, :, pl.ds(lo, SPB)], ohw, dims_oh,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # (10, PBK)
+
+                    wdet = jnp.sum(pick(0) * RT, axis=0)
+                    wnu = jnp.sum(pick(1) * RT, axis=0)
+                    wnv = jnp.sum(pick(2) * RT, axis=0)
+                    wd = 1.0 / wdet
+                    bt_ref[...] = jnp.where(upd, tmin, bt0)
+                    bu_ref[...] = jnp.where(upd, wnu * wd, bu_ref[...])
+                    bv_ref[...] = jnp.where(upd, wnv * wd, bv_ref[...])
+                    bd_ref[...] = jnp.where(upd, wdet, bd_ref[...])
+                    bi_ref[...] = jnp.where(
+                        upd, ref * SP + lo + li, bi_ref[...]
+                    )
 
         return sp2
 
@@ -425,12 +451,14 @@ def packet_traverse(
 
     res = pl.pallas_call(
         functools.partial(
-            _packet_kernel, SP=SP, PBK=PBK, AWOUT=AWOUT, interpret=interpret
+            _packet_kernel, SP=SP, NSUB=int(scene.sl_sub.shape[1]),
+            PBK=PBK, AWOUT=AWOUT, interpret=interpret,
         ),
         grid=(n_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # geo
             pl.BlockSpec(memory_space=pltpu.SMEM),   # refs (scalar reads)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sl_sub chunk AABBs
         ]
         + [blk_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.ANY)]     # W4 stays in HBM
@@ -454,7 +482,7 @@ def packet_traverse(
         ),
         interpret=interpret,
     )(
-        geo, refs,
+        geo, refs, scene.sl_sub,
         shp(rox), shp(roy), shp(roz), shp(rdx), shp(rdy), shp(rdz),
         shp(act), W4, *attr_in,
         jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)),

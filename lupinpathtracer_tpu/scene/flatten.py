@@ -145,6 +145,9 @@ class SceneTPU:
     # Condensed top-tree row table, bf16 (rows_pad, TOP_COLS); (1,1) dummy
     # in dense mode.
     top_tab: jnp.ndarray
+    # Sub-chunk AABBs (n_sl, NSUB, 8) f32 [lo3, hi3, used, 0] for the packet
+    # kernel's masked mini-visits; (1, NSUB, 8) dummy when unused.
+    sl_sub: jnp.ndarray
     gsl_inst: jnp.ndarray  # (G,) i32 instance per global superleaf
     gsl_msl: jnp.ndarray  # (G,) i32 mesh superleaf per global superleaf
 
@@ -508,6 +511,7 @@ def build_scene_tpu(
     top_depth = 1
     top_root_is_leaf = False
     top_tab = np.zeros((1, 1), np.float32)
+    sl_sub_arr = np.zeros((1, 8, 8), np.float32)  # (1, NSUB, 8) dummy
     gsl_inst = np.zeros(1, np.int32)
     gsl_msl = np.zeros(1, np.int32)
     if two_level:
@@ -607,7 +611,9 @@ def build_scene_tpu(
 
         lo, hi = bvh_mod.tri_bounds(wt_v0, wt_v0 + wt_e1, wt_v0 + wt_e2)
         tree = bvh_mod.build_bvh(lo, hi, max_leaf_size=bvh_leaf_size)
-        sls = sl_mod.build_superleaves(tree, Tw, stride=sl_stride_opt)
+        sls = sl_mod.build_superleaves(
+            tree, Tw, stride=sl_stride_opt, tri_lo=lo, tri_hi=hi
+        )
         # Repack the soup into fixed-stride superleaf blocks (the wavefront
         # kernel addresses a superleaf's triangles purely by its id).
         order = sls.order.astype(np.int64)
@@ -636,6 +642,8 @@ def build_scene_tpu(
         top_depth = sls.top_depth
         top_root_is_leaf = sls.top_root_is_leaf
         top_tab = sls.top_tab
+        if sls.sl_sub is not None:
+            sl_sub_arr = sls.sl_sub
         Tw_padded = sls.order.shape[0]
     else:
         bvh_min = np.zeros((1, 3), np.float32)
@@ -904,6 +912,7 @@ def build_scene_tpu(
         bvh_first=dev(bvh_first, np.int32),
         bvh_count=dev(bvh_count, np.int32),
         top_tab=jnp.asarray(top_tab).astype(jnp.bfloat16),
+        sl_sub=dev(sl_sub_arr),
         gsl_inst=dev(gsl_inst),
         gsl_msl=dev(gsl_msl),
         mat_color=dev(mat_color.T),
