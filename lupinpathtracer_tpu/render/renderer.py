@@ -72,7 +72,28 @@ def _camera_args(desc: PathtraceDesc):
     )
 
 
+_SWIZZLE_TILE = 16
+
+
 def _pixel_batch(tw, th, origin_x, origin_y):
+    """Pixel ids of a tile in TILE-SWIZZLED lane order when the dims allow.
+
+    Consecutive lanes cover 16x16 pixel squares instead of 1-pixel-high
+    strips, so the packet traversal's 256-ray blocks
+    (kernels/pallas_packet.py) see compact frusta. Results are lane-order
+    independent: RNG streams key on the absolute pixel id and the image
+    write-back scatters by (gy, gx) (pathtracer.wgsl:508's 1:1 thread->
+    pixel map has no such freedom to exploit)."""
+
+    ts = _SWIZZLE_TILE
+    if tw % ts == 0 and th % ts == 0:
+        lane = jnp.arange(tw * th, dtype=jnp.int32)
+        t = lane // (ts * ts)
+        w = lane % (ts * ts)
+        ntx = tw // ts
+        gx = origin_x + (t % ntx) * ts + (w % ts)
+        gy = origin_y + (t // ntx) * ts + (w // ts)
+        return gx, gy
     xs = jnp.arange(tw, dtype=jnp.int32)
     ys = jnp.arange(th, dtype=jnp.int32)
     gx = (origin_x + xs)[None, :].repeat(th, axis=0).reshape(-1)
@@ -90,6 +111,23 @@ def _accumulate_and_store(
     weight = 1.0 / jnp.maximum(accum_counter.astype(jnp.float32), 1.0)
     do_blend = accumulate & (accum_counter != 0)
     if full_frame:
+        th, tw = image.shape[:2]
+        ts = _SWIZZLE_TILE
+        if th % ts == 0 and tw % ts == 0:
+            # Tile-swizzled lane order (see _pixel_batch): the identity map
+            # is a pure transpose, no gather/scatter.
+            prev = (
+                image.reshape(th // ts, ts, tw // ts, ts, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(-1, 3)
+            )
+            blended = jnp.maximum(prev * (1.0 - weight) + color * weight, 0.0)
+            out = jnp.where(do_blend, blended, color)
+            return (
+                out.reshape(th // ts, tw // ts, ts, ts, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(image.shape)
+            )
         prev = image.reshape(-1, 3)
         blended = jnp.maximum(prev * (1.0 - weight) + color * weight, 0.0)
         out = jnp.where(do_blend, blended, color)
