@@ -69,15 +69,21 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# Sort-free packet traversal (kernels/pallas_packet.py) for single-level
-# scenes; the sort-carried wavefront remains the two-level / debug-counter
-# backend. Set LUPIN_NO_PACKET=1 to force the sort backend everywhere.
+# Sort-free packet traversal (kernels/pallas_packet.py); the sort-carried
+# wavefront remains the debug-counter backend and the fallback for
+# two-level scenes whose gsl/transform tables exceed the SMEM budget.
+# Set LUPIN_NO_PACKET=1 to force the sort backend everywhere.
 def _use_packet(scene) -> bool:
     import os
 
     if os.environ.get("LUPIN_NO_PACKET"):
         return False
-    return not scene.two_level and not scene.top_root_is_leaf
+    if scene.top_root_is_leaf:
+        return False
+    if scene.two_level:
+        # Per-leaf scalar reads need gsl_msl/gsl_inst/inst_inv in SMEM.
+        return scene.sl_count <= 16384 and scene.num_instances <= 4096
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -90,10 +90,15 @@ def _pack_top(tab: jnp.ndarray):
 def _packet_kernel(
     geo_ref, refs_ref, sub_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
     rdz_ref, act_ref, W_ref, *rest,
-    SP, NSUB, PBK, AWOUT, interpret,
+    SP, NSUB, PBK, AWOUT, TWO_LEVEL, interpret,
 ):
-    # Optional attr phase reshapes the tail of the signature:
-    #   with attrs: A_ref, eps | outs + ia_ref | scratch + av_ref
+    # Optional phases reshape the tail of the signature:
+    #   two-level: + gmsl/ginst/txf SMEM inputs (before A/eps)
+    #   with attrs: A_ref input | ia_ref output | av_ref scratch
+    rest = list(rest)
+    if TWO_LEVEL:
+        gmsl_ref, ginst_ref, txf_ref = rest[:3]
+        rest = rest[3:]
     if AWOUT:
         (A_ref, eps_ref, t_ref, u_ref, v_ref, det_ref, idx_ref, ia_ref,
          stack_ref, wv_ref, bt_ref, bu_ref, bv_ref, bd_ref, bi_ref,
@@ -137,22 +142,25 @@ def _packet_kernel(
     dims_t = (((0,), (0,)), ((), ()))  # contract dim 0 x dim 0
     dims_oh = (((1,), (0,)), ((), ()))
 
-    def slab_bits(row, bt):
+    def slab_bits(row, bt, o=None, iv=None):
         """(8, PBK) slab test of a [lo3, hi3, used, 0] row group against
         all rays, folded to ONE scalar bitmask (bit c = any ray hits child
         c closer than its best). Empty slots carry an inverted box that
         PASSES the slab test (near=-huge / far=+huge) — masked on the
-        used = -1 marker (col 6)."""
+        used = -1 marker (col 6). `o`/`iv` override the ray frame (mesh-
+        space sub-chunk tests on two-level scenes)."""
 
+        ox, oy, oz = o if o is not None else (rox, roy, roz)
+        jvx, jvy, jvz = iv if iv is not None else (ivx, ivy, ivz)
         pow2 = 1 << jax.lax.broadcasted_iota(
             jnp.int32, (row.shape[0], 1), 0
         )
-        tx1 = (row[:, 0:1] - rox[None, :]) * ivx[None, :]
-        tx2 = (row[:, 3:4] - rox[None, :]) * ivx[None, :]
-        ty1 = (row[:, 1:2] - roy[None, :]) * ivy[None, :]
-        ty2 = (row[:, 4:5] - roy[None, :]) * ivy[None, :]
-        tz1 = (row[:, 2:3] - roz[None, :]) * ivz[None, :]
-        tz2 = (row[:, 5:6] - roz[None, :]) * ivz[None, :]
+        tx1 = (row[:, 0:1] - ox[None, :]) * jvx[None, :]
+        tx2 = (row[:, 3:4] - ox[None, :]) * jvx[None, :]
+        ty1 = (row[:, 1:2] - oy[None, :]) * jvy[None, :]
+        ty2 = (row[:, 4:5] - oy[None, :]) * jvy[None, :]
+        tz1 = (row[:, 2:3] - oz[None, :]) * jvz[None, :]
+        tz2 = (row[:, 5:6] - oz[None, :]) * jvz[None, :]
         near = jnp.maximum(
             jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
             jnp.minimum(tz1, tz2),
@@ -199,17 +207,46 @@ def _packet_kernel(
         # (sl_sub masked mini-visits — typically 2-3 of NSUB).
         @pl.when(is_leaf == 1)
         def _leaf():
+            lref = jnp.where(is_leaf == 1, ref, 0)
+            if TWO_LEVEL:
+                # ref is a GLOBAL (instance x mesh-superleaf) id: move the
+                # rays into mesh space by the instance's inverse transform
+                # (direction unnormalized so t stays world-scaled,
+                # bvh_custom.wgsl:30-35); intersect the MESH superleaf.
+                wref = gmsl_ref[lref]
+                inst = ginst_ref[lref]
+                m = [txf_ref[inst, j] for j in range(12)]
+                lox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+                loy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+                loz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+                ldx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+                ldy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+                ldz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+                lcx = loy * ldz - loz * ldy
+                lcy = loz * ldx - lox * ldz
+                lcz = lox * ldy - loy * ldx
+                RTl = jnp.stack(
+                    [ldx, ldy, ldz, lcx, lcy, lcz, lox, loy, loz,
+                     jnp.ones_like(lox)],
+                    axis=0,
+                )
+                ol = (lox, loy, loz)
+                ivl = (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
+            else:
+                wref = lref
+                RTl = RT
+                ol = ivl = None
+
             if interpret:
-                wv_ref[...] = W_ref[:, :, pl.ds(ref * SP, SP)]
+                wv_ref[...] = W_ref[:, :, pl.ds(wref * SP, SP)]
             else:
                 dma = pltpu.make_async_copy(
-                    W_ref.at[:, :, pl.ds(ref * SP, SP)], wv_ref, sem_ref
+                    W_ref.at[:, :, pl.ds(wref * SP, SP)], wv_ref, sem_ref
                 )
                 dma.start()
                 dma.wait()
 
-            lref = jnp.where(is_leaf == 1, ref, 0)
-            sbits = slab_bits(sub_ref[lref], bt_ref[...])
+            sbits = slab_bits(sub_ref[wref], bt_ref[...], o=ol, iv=ivl)
 
             for sb in range(NSUB):
                 on = (sbits >> sb) & 1
@@ -220,7 +257,7 @@ def _packet_kernel(
 
                     def ev(f):
                         return jax.lax.dot_general(
-                            wv_ref[f, :, pl.ds(lo, SPB)], RT, dims_t,
+                            wv_ref[f, :, pl.ds(lo, SPB)], RTl, dims_t,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32,
                         )  # (SPB, PBK)
@@ -257,9 +294,9 @@ def _packet_kernel(
                             preferred_element_type=jnp.float32,
                         )  # (10, PBK)
 
-                    wdet = jnp.sum(pick(0) * RT, axis=0)
-                    wnu = jnp.sum(pick(1) * RT, axis=0)
-                    wnv = jnp.sum(pick(2) * RT, axis=0)
+                    wdet = jnp.sum(pick(0) * RTl, axis=0)
+                    wnu = jnp.sum(pick(1) * RTl, axis=0)
+                    wnv = jnp.sum(pick(2) * RTl, axis=0)
                     wd = 1.0 / wdet
                     bt_ref[...] = jnp.where(upd, tmin, bt0)
                     bu_ref[...] = jnp.where(upd, wnu * wd, bu_ref[...])
@@ -387,13 +424,15 @@ def packet_traverse(
     intersect.closest_hit_wavefront: returns (t, u, v, det, tri) with
     t = F32_MAX on miss, tri a padded-soup triangle index — plus, when
     `with_attrs`, an (AWOUT, B) matrix of interpolated winner shading
-    rows (pallas_bvh.IA_* layout, zeros on miss lanes). Single-level
-    scenes only (two-level instancing keeps the sort backend for now)."""
+    rows (pallas_bvh.IA_* layout, zeros on miss lanes; single-level
+    only). Two-level scenes intersect mesh superleaves with instance-
+    transformed rays (gsl/transform tables in SMEM, bvh_custom.wgsl:30-35
+    analog)."""
 
     from .pallas_bvh import IA_ROWS, IA_ROWS_NM
 
-    assert not scene.two_level, "packet backend: single-level scenes only"
     assert not scene.top_root_is_leaf, "single-superleaf scenes are dense"
+    assert not (with_attrs and scene.two_level)
     B = ro.x.shape[0]
     SP = scene.sl_stride
     pad = (-B) % PBK
@@ -435,6 +474,14 @@ def packet_traverse(
     out_specs = [blk_spec] * 5
     attr_in, attr_in_specs = [], []
     scr_attr = []
+    tl_in, tl_in_specs = [], []
+    if scene.two_level:
+        tl_in = [
+            scene.gsl_msl.astype(jnp.int32),
+            scene.gsl_inst.astype(jnp.int32),
+            scene.inst_inv.reshape(-1, 12),
+        ]
+        tl_in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
     if with_attrs:
         out_shapes.append(
             jax.ShapeDtypeStruct((n_blk, AWOUT, PBK), jnp.float32)
@@ -452,7 +499,8 @@ def packet_traverse(
     res = pl.pallas_call(
         functools.partial(
             _packet_kernel, SP=SP, NSUB=int(scene.sl_sub.shape[1]),
-            PBK=PBK, AWOUT=AWOUT, interpret=interpret,
+            PBK=PBK, AWOUT=AWOUT, TWO_LEVEL=bool(scene.two_level),
+            interpret=interpret,
         ),
         grid=(n_blk,),
         in_specs=[
@@ -462,6 +510,7 @@ def packet_traverse(
         ]
         + [blk_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.ANY)]     # W4 stays in HBM
+        + tl_in_specs
         + attr_in_specs
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],   # eps
         out_specs=tuple(out_specs),
@@ -484,7 +533,7 @@ def packet_traverse(
     )(
         geo, refs, scene.sl_sub,
         shp(rox), shp(roy), shp(roz), shp(rdx), shp(rdy), shp(rdz),
-        shp(act), W4, *attr_in,
+        shp(act), W4, *tl_in, *attr_in,
         jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)),
     )
 

@@ -525,7 +525,7 @@ def build_scene_tpu(
 
         stride = sl_stride_opt or sl_mod.pick_stride(Tw)
         orders, valids = [], []
-        msl_lo_l, msl_hi_l = [], []
+        msl_lo_l, msl_hi_l, msl_sub_l = [], [], []
         msl_of_mesh = {}
         off = 0
         cursor = 0
@@ -540,11 +540,14 @@ def build_scene_tpu(
                 wt_v0[off : off + ntm] + wt_e2[off : off + ntm],
             )
             tree_m = bvh_mod.build_bvh(lo_m, hi_m, max_leaf_size=bvh_leaf_size)
-            sls_m = sl_mod.build_superleaves(tree_m, ntm, stride=stride)
+            sls_m = sl_mod.build_superleaves(
+                tree_m, ntm, stride=stride, tri_lo=lo_m, tri_hi=hi_m
+            )
             orders.append(sls_m.order.astype(np.int64) + off)
             valids.append(sls_m.valid)
             msl_lo_l.append(sls_m.sl_lo)
             msl_hi_l.append(sls_m.sl_hi)
+            msl_sub_l.append(sls_m.sl_sub)
             msl_of_mesh[m] = (cursor, sls_m.sl_count)
             cursor += sls_m.sl_count
             off += ntm
@@ -557,6 +560,9 @@ def build_scene_tpu(
         msl_count = cursor
         msl_lo = np.concatenate(msl_lo_l)
         msl_hi = np.concatenate(msl_hi_l)
+        # Mesh-space sub-chunk AABBs, indexed by MESH superleaf (the packet
+        # kernel tests them with instance-transformed rays).
+        sl_sub_arr = np.concatenate(msl_sub_l)
 
         g_inst, g_msl, g_lo, g_hi = [], [], [], []
         for i, inst in enumerate(scene.instances):
