@@ -180,7 +180,109 @@ def _packet_kernel(
             jnp.max(jnp.where(hit8, pow2, 0), axis=1), dtype=jnp.int32
         )
 
-    def body(sp):
+    def leaf_compute(gref, buf):
+        """Intersect the (already-DMA'd) leaf `gref` from buffer slot
+        `buf`: masked sub-chunk mini-visits + winner pick."""
+
+        if TWO_LEVEL:
+            # gref is a GLOBAL (instance x mesh-superleaf) id: move the
+            # rays into mesh space by the instance's inverse transform
+            # (direction unnormalized so t stays world-scaled,
+            # bvh_custom.wgsl:30-35); intersect the MESH superleaf.
+            wref = gmsl_ref[gref]
+            inst = ginst_ref[gref]
+            m = [txf_ref[inst, j] for j in range(12)]
+            lox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+            loy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+            loz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+            ldx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+            ldy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+            ldz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+            lcx = loy * ldz - loz * ldy
+            lcy = loz * ldx - lox * ldz
+            lcz = lox * ldy - loy * ldx
+            RTl = jnp.stack(
+                [ldx, ldy, ldz, lcx, lcy, lcz, lox, loy, loz,
+                 jnp.ones_like(lox)],
+                axis=0,
+            )
+            ol = (lox, loy, loz)
+            ivl = (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
+        else:
+            wref = gref
+            RTl = RT
+            ol = ivl = None
+
+        if not interpret:
+            # Wait on this buffer's in-flight copy (started at pop time;
+            # internal pops and the other leaf's compute overlapped it).
+            pltpu.make_async_copy(
+                W_ref.at[:, :, pl.ds(wref * SP, SP)], wv_ref.at[buf],
+                sem_ref.at[buf],
+            ).wait()
+
+        sbits = slab_bits(sub_ref[wref], bt_ref[...], o=ol, iv=ivl)
+
+        for sb in range(NSUB):
+            on = (sbits >> sb) & 1
+
+            @pl.when(on == 1)
+            def _sub(sb=sb):
+                lo = sb * SPB
+
+                def ev(f):
+                    return jax.lax.dot_general(
+                        wv_ref[buf, f, :, pl.ds(lo, SPB)], RTl, dims_t,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # (SPB, PBK)
+
+                det = ev(0)
+                nu = ev(1)
+                nv = ev(2)
+                nt = ev(3)
+                d = 1.0 / det
+                tt = nt * d
+                uu = nu * d
+                vv = nv * d
+                valid = (
+                    (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt >= eps)
+                )
+                tm = jnp.where(valid, tt, F32_MAX)
+                tmin = jnp.min(tm, axis=0)  # (PBK,)
+                at_min = (tm <= tmin[None, :]) & valid
+                li = jnp.min(
+                    jnp.where(at_min, iota_sub, 2**30), axis=0
+                )
+
+                bt0 = bt_ref[...]
+                upd = (tmin < bt0) & active
+                # Winner u/v/det via an exact f32 one-hot fetch of the
+                # winning triangle's coefficient rows (as _pair_kernel).
+                ohw = (iota_sub == li[None, :]).astype(jnp.float32)
+
+                def pick(f):
+                    return jax.lax.dot_general(
+                        wv_ref[buf, f, :, pl.ds(lo, SPB)], ohw, dims_oh,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # (10, PBK)
+
+                wdet = jnp.sum(pick(0) * RTl, axis=0)
+                wnu = jnp.sum(pick(1) * RTl, axis=0)
+                wnv = jnp.sum(pick(2) * RTl, axis=0)
+                wd = 1.0 / wdet
+                bt_ref[...] = jnp.where(upd, tmin, bt0)
+                bu_ref[...] = jnp.where(upd, wnu * wd, bu_ref[...])
+                bv_ref[...] = jnp.where(upd, wnv * wd, bv_ref[...])
+                bd_ref[...] = jnp.where(upd, wdet, bd_ref[...])
+                bi_ref[...] = jnp.where(
+                    upd, gref * SP + lo + li, bi_ref[...]
+                )
+
+    def body(c):
+        sp, pend, par = c
         pref = stack_ref[sp - 1]
         is_leaf = pref & 1
         ref = pref >> 1
@@ -193,122 +295,49 @@ def _packet_kernel(
         bits = jnp.where(is_leaf == 0, bits, 0)
 
         sp2 = sp - 1
-        for c in range(TOP_FAN):
-            pushed = (bits >> c) & 1
+        for c2 in range(TOP_FAN):
+            pushed = (bits >> c2) & 1
 
             @pl.when(pushed == 1)
-            def _push(c=c, sp2=sp2):
-                stack_ref[sp2] = refs_ref[rref, c]
+            def _push(c2=c2, sp2=sp2):
+                stack_ref[sp2] = refs_ref[rref, c2]
 
             sp2 = sp2 + pushed
 
-        # ---- leaf: ONE DMA of the superleaf's coefficient block, then MXU
-        # closest hit on only the sub-chunks some ray's slab test wants
-        # (sl_sub masked mini-visits — typically 2-3 of NSUB).
+        # ---- leaf: software pipeline. Start THIS leaf's DMA into
+        # buffer `par`, then intersect the PREVIOUS pending leaf from the
+        # other buffer while the copy flies. Internal pops in between
+        # overlap in-flight copies for free. Deferring the compute only
+        # delays best_t tightening (pruning quality), never correctness.
         @pl.when(is_leaf == 1)
-        def _leaf():
+        def _start():
             lref = jnp.where(is_leaf == 1, ref, 0)
-            if TWO_LEVEL:
-                # ref is a GLOBAL (instance x mesh-superleaf) id: move the
-                # rays into mesh space by the instance's inverse transform
-                # (direction unnormalized so t stays world-scaled,
-                # bvh_custom.wgsl:30-35); intersect the MESH superleaf.
-                wref = gmsl_ref[lref]
-                inst = ginst_ref[lref]
-                m = [txf_ref[inst, j] for j in range(12)]
-                lox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
-                loy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
-                loz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
-                ldx = m[0] * rdx + m[1] * rdy + m[2] * rdz
-                ldy = m[4] * rdx + m[5] * rdy + m[6] * rdz
-                ldz = m[8] * rdx + m[9] * rdy + m[10] * rdz
-                lcx = loy * ldz - loz * ldy
-                lcy = loz * ldx - lox * ldz
-                lcz = lox * ldy - loy * ldx
-                RTl = jnp.stack(
-                    [ldx, ldy, ldz, lcx, lcy, lcz, lox, loy, loz,
-                     jnp.ones_like(lox)],
-                    axis=0,
-                )
-                ol = (lox, loy, loz)
-                ivl = (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
-            else:
-                wref = lref
-                RTl = RT
-                ol = ivl = None
-
+            wref = gmsl_ref[lref] if TWO_LEVEL else lref
             if interpret:
-                wv_ref[...] = W_ref[:, :, pl.ds(wref * SP, SP)]
+                wv_ref[par] = W_ref[:, :, pl.ds(wref * SP, SP)]
             else:
-                dma = pltpu.make_async_copy(
-                    W_ref.at[:, :, pl.ds(wref * SP, SP)], wv_ref, sem_ref
-                )
-                dma.start()
-                dma.wait()
+                pltpu.make_async_copy(
+                    W_ref.at[:, :, pl.ds(wref * SP, SP)], wv_ref.at[par],
+                    sem_ref.at[par],
+                ).start()
 
-            sbits = slab_bits(sub_ref[wref], bt_ref[...], o=ol, iv=ivl)
+        @pl.when((is_leaf == 1) & (pend > 0))
+        def _drain_prev():
+            leaf_compute(pend - 1, 1 - par)
 
-            for sb in range(NSUB):
-                on = (sbits >> sb) & 1
+        new_pend = jnp.where(is_leaf == 1, ref + 1, pend)
+        new_par = jnp.where(is_leaf == 1, 1 - par, par)
+        return sp2, new_pend, new_par
 
-                @pl.when(on == 1)
-                def _sub(sb=sb):
-                    lo = sb * SPB
+    fc = jax.lax.while_loop(
+        lambda c: (c[0] > 0) & any_active, body,
+        (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
+    )
+    _, pend_f, par_f = fc
 
-                    def ev(f):
-                        return jax.lax.dot_general(
-                            wv_ref[f, :, pl.ds(lo, SPB)], RTl, dims_t,
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32,
-                        )  # (SPB, PBK)
-
-                    det = ev(0)
-                    nu = ev(1)
-                    nv = ev(2)
-                    nt = ev(3)
-                    d = 1.0 / det
-                    tt = nt * d
-                    uu = nu * d
-                    vv = nv * d
-                    valid = (
-                        (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                        & (tt >= eps)
-                    )
-                    tm = jnp.where(valid, tt, F32_MAX)
-                    tmin = jnp.min(tm, axis=0)  # (PBK,)
-                    at_min = (tm <= tmin[None, :]) & valid
-                    li = jnp.min(
-                        jnp.where(at_min, iota_sub, 2**30), axis=0
-                    )
-
-                    bt0 = bt_ref[...]
-                    upd = (tmin < bt0) & active
-                    # Winner u/v/det via an exact f32 one-hot fetch of the
-                    # winning triangle's coefficient rows (as _pair_kernel).
-                    ohw = (iota_sub == li[None, :]).astype(jnp.float32)
-
-                    def pick(f):
-                        return jax.lax.dot_general(
-                            wv_ref[f, :, pl.ds(lo, SPB)], ohw, dims_oh,
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32,
-                        )  # (10, PBK)
-
-                    wdet = jnp.sum(pick(0) * RTl, axis=0)
-                    wnu = jnp.sum(pick(1) * RTl, axis=0)
-                    wnv = jnp.sum(pick(2) * RTl, axis=0)
-                    wd = 1.0 / wdet
-                    bt_ref[...] = jnp.where(upd, tmin, bt0)
-                    bu_ref[...] = jnp.where(upd, wnu * wd, bu_ref[...])
-                    bv_ref[...] = jnp.where(upd, wnv * wd, bv_ref[...])
-                    bd_ref[...] = jnp.where(upd, wdet, bd_ref[...])
-                    bi_ref[...] = jnp.where(
-                        upd, ref * SP + lo + li, bi_ref[...]
-                    )
-
-        return sp2
-
-    jax.lax.while_loop(lambda sp: (sp > 0) & any_active, body, jnp.int32(1))
+    @pl.when(pend_f > 0)
+    def _drain_last():
+        leaf_compute(pend_f - 1, 1 - par_f)
 
     sub = PBK // 128
 
@@ -369,7 +398,8 @@ def _attr_phase(A_ref, av_ref, ia_ref, sem_ref, bt, bu, bv, bi,
             av_ref[...] = A_ref[pl.ds(sl_cur * SP, SP), :AWC]
         else:
             dma = pltpu.make_async_copy(
-                A_ref.at[pl.ds(sl_cur * SP, SP), :AWC], av_ref, sem_ref
+                A_ref.at[pl.ds(sl_cur * SP, SP), :AWC], av_ref,
+                sem_ref.at[0],
             )
             dma.start()
             dma.wait()
@@ -517,7 +547,7 @@ def packet_traverse(
         out_shape=tuple(out_shapes),
         scratch_shapes=[
             pltpu.SMEM((SMAX,), jnp.int32),
-            pltpu.VMEM((4, 10, SP), jnp.float32),
+            pltpu.VMEM((2, 4, 10, SP), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
@@ -525,7 +555,7 @@ def packet_traverse(
             pltpu.VMEM((PBK,), jnp.int32),
         ]
         + scr_attr
-        + [pltpu.SemaphoreType.DMA(())],
+        + [pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
