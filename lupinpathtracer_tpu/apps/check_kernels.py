@@ -74,6 +74,61 @@ def main():
     )
     checks.append(("denoise", lambda: denoise(jnp.ones((16, 16, 3)), iterations=2)))
 
+    # BVH/packet path: a UV sphere forces several superleaves so the packet
+    # traversal + fused attr kernels (kernels/pallas_packet.py) lower too.
+    import numpy as np
+
+    from ..core.types import Material
+    from ..scene.scene import InstanceCPU, MeshCPU, SceneCPU
+
+    lat = np.linspace(0.1, np.pi - 0.1, 24)
+    lon = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    pts = np.array(
+        [
+            [np.sin(a) * np.cos(b), np.cos(a) + 1.5, np.sin(a) * np.sin(b)]
+            for a in lat
+            for b in lon
+        ],
+        np.float32,
+    )
+    idx = []
+    for i in range(23):
+        for j in range(32):
+            a = i * 32 + j
+            b = i * 32 + (j + 1) % 32
+            c = (i + 1) * 32 + j
+            d = (i + 1) * 32 + (j + 1) % 32
+            idx += [[a, b, c], [b, d, c]]
+    sph = SceneCPU(
+        meshes=[
+            MeshCPU(
+                positions=pts, indices=np.asarray(idx, np.int32),
+                normals=None, texcoords=None, colors=None,
+            )
+        ],
+        instances=[
+            InstanceCPU(
+                frame=np.eye(3, 4, dtype=np.float32), mesh_idx=0, mat_idx=0
+            )
+        ],
+        materials=[Material()],
+        environments=[],
+        textures=[],
+    )
+    bvh_tpu = build_scene_tpu(sph, dense_max_tris=64)
+    desc_b = PathtraceDesc()
+    desc_b.camera_transform = cams[0].transform
+    desc_b.camera_params = cams[0].params
+    desc_b.pathtrace_type = PathtraceType.STANDARD
+    checks.append(
+        (
+            "pathtrace[STANDARD, packet BVH]",
+            lambda: renderer.pathtrace_scene(
+                bvh_tpu, renderer.new_accumulation_buffer(8, 8), desc_b, baked
+            ),
+        )
+    )
+
     if len(jax.devices()) >= 2:
         from ..parallel.sharding import make_tile_mesh, render_progressive_sharded
 
