@@ -80,10 +80,17 @@ def _use_packet(scene) -> bool:
         return False
     if scene.top_root_is_leaf:
         return False
-    if scene.two_level:
+    if scene.two_level and not (
         # Per-leaf scalar reads need gsl_msl/gsl_inst/inst_inv in SMEM.
-        return scene.sl_count <= 16384 and scene.num_instances <= 4096
-    return True
+        scene.sl_count <= 16384 and scene.num_instances <= 4096
+    ):
+        return False
+    from . import pallas_packet
+
+    # The probe runs eagerly in build_scene_tpu (host side — this function
+    # is called during tracing, where a probe cannot execute). Unprobed
+    # (None) means no BVH scene was built this process; treat as OK.
+    return pallas_packet._PROBE_OK is not False
 
 
 # ---------------------------------------------------------------------------

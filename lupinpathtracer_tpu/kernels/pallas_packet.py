@@ -87,6 +87,70 @@ def _pack_top(tab: jnp.ndarray):
     return geo, refs
 
 
+_PROBE_OK: bool | None = None
+
+
+def probe() -> bool:
+    """One-time compile+run probe of the packet kernel on this backend.
+
+    The kernel leans on Mosaic features (DMA inside a data-dependent
+    while, dynamic VMEM row reads, SMEM stacks) that only the real TPU
+    lowering exercises; callers gate the backend on this so an
+    environment where any of it fails to lower falls back to the sort
+    backend instead of breaking every render."""
+
+    global _PROBE_OK
+    if _PROBE_OK is not None:
+        return _PROBE_OK
+    if jax.default_backend() != "tpu":
+        _PROBE_OK = True  # interpret mode — covered by the test suite
+        return True
+    try:
+        import numpy as np
+
+        from ..accel.superleaf import build_top_table
+
+        lo = np.array([[0, 0, 0], [4, 0, 0]], np.float32)
+        hi = lo + 1
+        tab, _, root_leaf, depth = build_top_table(lo, hi)
+        assert not root_leaf
+        SPp = 128
+
+        class _S:
+            top_tab = jnp.asarray(tab)
+            sl_stride = SPp
+            sl_sub = jnp.zeros((2, 1, 8), jnp.float32).at[:, :, 6].set(1.0)
+            sl_sub = sl_sub.at[0, 0, 0:3].set(lo[0]).at[0, 0, 3:6].set(hi[0])
+            sl_sub = sl_sub.at[1, 0, 0:3].set(lo[1]).at[1, 0, 3:6].set(hi[1])
+            top_depth = depth
+            top_root_is_leaf = False
+            two_level = False
+            any_normal_maps = False
+            wt_attr = None
+
+        W4 = jnp.zeros((4, 10, 2 * SPp), jnp.float32)
+        from ..core.vec3 import V3 as _V3
+
+        o = jnp.zeros(256, jnp.float32)
+        d = jnp.ones(256, jnp.float32)
+        t, *_ = jax.jit(
+            lambda o, d: packet_traverse(
+                _S, _V3(o, o, o), _V3(d, o, o), 1e-3, W4
+            )
+        )(o, d)
+        assert bool(jnp.isfinite(jnp.sum(jnp.minimum(t, 1e30))))
+        _PROBE_OK = True
+    except Exception as e:  # noqa: BLE001 — any lowering failure disables
+        import sys
+
+        print(
+            f"# packet backend disabled: {type(e).__name__}: {e}",
+            file=sys.stderr,
+        )
+        _PROBE_OK = False
+    return _PROBE_OK
+
+
 def _packet_kernel(
     geo_ref, refs_ref, sub_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
     rdz_ref, act_ref, W_ref, *rest,

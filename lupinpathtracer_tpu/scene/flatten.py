@@ -850,6 +850,14 @@ def build_scene_tpu(
             return np.concatenate(lst).astype(np.float32)
         return np.zeros((1, 3), np.float32)
 
+    if use_bvh and sl_count > 0 and not top_root_is_leaf:
+        # Eager packet-backend probe (host side — kernels/intersect's
+        # _use_packet is consulted during tracing, where a probe cannot
+        # execute). On a backend where the kernel fails to lower, renders
+        # fall back to the sort backend instead of crashing.
+        from ..kernels import pallas_packet
+
+        pallas_packet.probe()
     return SceneTPU(
         num_meshes=nm,
         num_instances=ni,
