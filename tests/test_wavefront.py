@@ -233,6 +233,49 @@ def test_packet_fused_attrs_match_fetch(rng):
     assert (np.asarray(ia.mat_id)[~hit] == 0).all()
 
 
+def test_packet_fused_attrs_tangent_rows(rng):
+    """Normal-mapped scenes carry IA_TAN/IA_BIT through the fused attr
+    phase — parity vs wavefront_fetch_attrs."""
+
+    from lupinpathtracer_tpu.scene.scene import TextureCPU
+
+    scene = _tri_sphere_scene()
+    m = scene.meshes[0]
+    n_pts = m.positions.shape[0]
+    uv = np.stack(
+        [np.linspace(0, 1, n_pts), np.linspace(1, 0, n_pts)], axis=1
+    ).astype(np.float32)
+    scene.meshes[0] = MeshCPU(
+        positions=m.positions, indices=m.indices, normals=m.normals,
+        texcoords=uv, colors=None,
+    )
+    flat = np.zeros((4, 4, 4), np.float32)
+    flat[..., 2] = 1.0  # +Z normal map
+    flat[..., 3] = 1.0
+    scene.textures.append(TextureCPU(data=flat, is_hdr=False))
+    scene.materials[0].normal_tex_idx = 0
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    assert tpu.any_normal_maps
+
+    ro, rd = _random_rays(rng, 512)
+    h_ref = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+    ia_ref = intersect.wavefront_fetch_attrs(tpu, h_ref)
+    h, ia = intersect._packet_hit_attrs(tpu, ro, rd, 1e-4)
+    hit = np.asarray(h_ref.hit)
+    same = (np.asarray(h.tri) == np.asarray(h_ref.tri)) & hit
+    assert ia.tan is not None and ia_ref.tan is not None
+    for name, a, b in [
+        ("tan.x", ia.tan.x, ia_ref.tan.x),
+        ("tan.z", ia.tan.z, ia_ref.tan.z),
+        ("bit.y", ia.bit.y, ia_ref.bit.y),
+        ("tu", ia.tu, ia_ref.tu),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a)[same], np.asarray(b)[same], rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )
+
+
 def test_wavefront_attr_fetch_matches_gathers(rng):
     """wavefront_fetch_attrs (sort + one-hot MXU fetch/interp + unsort) must
     equal the direct wt-array gather-and-interpolate path for every hit
