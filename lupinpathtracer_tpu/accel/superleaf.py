@@ -148,6 +148,9 @@ def build_superleaves(
 ) -> Superleaves:
     if stride is None:
         stride = pick_stride(num_tris)
+    # The packet kernel slices sub-chunks on the lane dimension; both the
+    # stride and the chunk size must keep full-lane (128) alignment.
+    assert stride % 128 == 0, f"superleaf stride {stride} not 128-aligned"
 
     begin, end = _subtree_ranges(bvh)
 

@@ -37,16 +37,20 @@ def main():
     baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
 
     checks = []
-    for pt in PathtraceType:
-        desc.pathtrace_type = pt
-        checks.append(
-            (
-                f"pathtrace[{pt.name}]",
-                lambda d=desc, p=pt: renderer.pathtrace_scene(
-                    tpu, renderer.new_accumulation_buffer(8, 8), d, baked
-                ),
-            )
+
+    def _ptcheck(pt):
+        # Fresh descriptor per check: a shared desc would make every lambda
+        # compile whatever type it holds at CALL time (the last one).
+        import copy
+
+        d = copy.deepcopy(desc)
+        d.pathtrace_type = pt
+        return lambda: renderer.pathtrace_scene(
+            tpu, renderer.new_accumulation_buffer(8, 8), d, baked
         )
+
+    for pt in PathtraceType:
+        checks.append((f"pathtrace[{pt.name}]", _ptcheck(pt)))
     checks.append(
         (
             "falsecolor[ALBEDO]",

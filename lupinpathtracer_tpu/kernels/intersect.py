@@ -88,9 +88,9 @@ def _use_packet(scene) -> bool:
     from . import pallas_packet
 
     # The probe runs eagerly in build_scene_tpu (host side — this function
-    # is called during tracing, where a probe cannot execute). Unprobed
-    # (None) means no BVH scene was built this process; treat as OK.
-    return pallas_packet._PROBE_OK is not False
+    # is called during tracing, where a probe cannot execute). An unprobed
+    # variant means no such scene was built this process; treat as OK.
+    return pallas_packet._PROBE_OK.get(bool(scene.two_level)) is not False
 
 
 # ---------------------------------------------------------------------------
@@ -425,15 +425,11 @@ def closest_hit_wavefront(
     B = ro.x.shape[0]
     SP = scene.sl_stride
     n_sl = scene.sl_count
-    need = scene.msl_count * SP
-    if W is None or W.shape[2] != need:
-        # Superleaf tables exist for every scene (both backends are built);
-        # a dense-trimmed W from the caller is rebuilt at the repacked-soup
-        # width the pair kernel's (4, 10, SP) slicing requires. XLA CSEs /
-        # hoists this out of bounce loops.
-        W = build_tri_matrix(
-            scene.wt_v0[:, :need], scene.wt_e1[:, :need], scene.wt_e2[:, :need]
-        )
+    # Superleaf tables exist for every scene (both backends are built); a
+    # dense-trimmed W from the caller is rebuilt at the repacked-soup width
+    # the kernels' (4, 10, SP) slicing requires. XLA CSEs / hoists this out
+    # of bounce loops.
+    W = _wavefront_tri_matrix(scene, W)
 
     if not with_counts and _use_packet(scene):
         from . import pallas_packet
@@ -898,6 +894,18 @@ def closest_hit(
     return apply_active(_fixup_backside(scene, h))
 
 
+def _wavefront_tri_matrix(scene, W=None):
+    """Coefficient matrix at the repacked-soup width the superleaf kernels
+    slice by superleaf id (shared by both wavefront backends)."""
+
+    need = scene.msl_count * scene.sl_stride
+    if W is None or W.shape[2] != need:
+        W = build_tri_matrix(
+            scene.wt_v0[:, :need], scene.wt_e1[:, :need], scene.wt_e2[:, :need]
+        )
+    return W
+
+
 def _packet_hit_attrs(scene, ro: V3, rd: V3, eps, W=None, active=None):
     """One packet-kernel call returning (HitInfo, InterpAttrs): traversal
     AND winner-attribute interpolation fused (pallas_packet._attr_phase) —
@@ -906,11 +914,7 @@ def _packet_hit_attrs(scene, ro: V3, rd: V3, eps, W=None, active=None):
     from . import pallas_bvh as pb
     from . import pallas_packet
 
-    need = scene.msl_count * scene.sl_stride
-    if W is None or W.shape[2] != need:
-        W = build_tri_matrix(
-            scene.wt_v0[:, :need], scene.wt_e1[:, :need], scene.wt_e2[:, :need]
-        )
+    W = _wavefront_tri_matrix(scene, W)
     t, u, v, det, tri, r = pallas_packet.packet_traverse(
         scene, ro, rd, eps, W, active=active, with_attrs=True
     )
@@ -921,6 +925,12 @@ def _packet_hit_attrs(scene, ro: V3, rd: V3, eps, W=None, active=None):
             tri=jnp.maximum(tri, 0), backside=det > 0.0,
         ),
     )
+    if active is not None:
+        # Same inactive-lane semantics as closest_hit's apply_active: a
+        # clean miss (in particular backside=False even when instance 0's
+        # det-sign fixup would flip the tri=0 placeholder).
+        m = miss(ro.x.shape)
+        h = jax.tree.map(lambda a, b: jnp.where(active, a, b), h, m)
     tan = bit = None
     if scene.any_normal_maps:
         tan = V3(r[pb.IA_TAN.start], r[pb.IA_TAN.start + 1],

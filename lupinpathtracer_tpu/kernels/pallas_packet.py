@@ -87,23 +87,24 @@ def _pack_top(tab: jnp.ndarray):
     return geo, refs
 
 
-_PROBE_OK: bool | None = None
+_PROBE_OK: dict = {}  # {two_level: bool} — see probe()
 
 
-def probe() -> bool:
+def probe(two_level: bool = False) -> bool:
     """One-time compile+run probe of the packet kernel on this backend.
 
     The kernel leans on Mosaic features (DMA inside a data-dependent
     while, dynamic VMEM row reads, SMEM stacks) that only the real TPU
     lowering exercises; callers gate the backend on this so an
     environment where any of it fails to lower falls back to the sort
-    backend instead of breaking every render."""
+    backend instead of breaking every render. The single-level probe
+    covers BOTH specializations a render can hit (plain and fused-attrs);
+    the two-level probe covers the SMEM-table/transform branch."""
 
-    global _PROBE_OK
-    if _PROBE_OK is not None:
-        return _PROBE_OK
+    if two_level in _PROBE_OK:
+        return _PROBE_OK[two_level]
     if jax.default_backend() != "tpu":
-        _PROBE_OK = True  # interpret mode — covered by the test suite
+        _PROBE_OK[two_level] = True  # interpret — covered by the test suite
         return True
     try:
         import numpy as np
@@ -115,19 +116,25 @@ def probe() -> bool:
         tab, _, root_leaf, depth = build_top_table(lo, hi)
         assert not root_leaf
         SPp = 128
+        sub = jnp.zeros((2, 1, 8), jnp.float32).at[:, :, 6].set(1.0)
+        sub = sub.at[0, 0, 0:3].set(lo[0]).at[0, 0, 3:6].set(hi[0])
+        sub = sub.at[1, 0, 0:3].set(lo[1]).at[1, 0, 3:6].set(hi[1])
 
         class _S:
             top_tab = jnp.asarray(tab)
             sl_stride = SPp
-            sl_sub = jnp.zeros((2, 1, 8), jnp.float32).at[:, :, 6].set(1.0)
-            sl_sub = sl_sub.at[0, 0, 0:3].set(lo[0]).at[0, 0, 3:6].set(hi[0])
-            sl_sub = sl_sub.at[1, 0, 0:3].set(lo[1]).at[1, 0, 3:6].set(hi[1])
+            sl_sub = sub
             top_depth = depth
             top_root_is_leaf = False
-            two_level = False
             any_normal_maps = False
-            wt_attr = None
+            wt_attr = jnp.zeros((2 * SPp, 128), jnp.float32)
+            gsl_msl = jnp.arange(2, dtype=jnp.int32)
+            gsl_inst = jnp.zeros(2, jnp.int32)
+            inst_inv = jnp.broadcast_to(
+                jnp.eye(3, 4, dtype=jnp.float32), (1, 3, 4)
+            )
 
+        _S.two_level = bool(two_level)
         W4 = jnp.zeros((4, 10, 2 * SPp), jnp.float32)
         from ..core.vec3 import V3 as _V3
 
@@ -139,16 +146,25 @@ def probe() -> bool:
             )
         )(o, d)
         assert bool(jnp.isfinite(jnp.sum(jnp.minimum(t, 1e30))))
-        _PROBE_OK = True
+        if not two_level:
+            t2, *_ = jax.jit(
+                lambda o, d: packet_traverse(
+                    _S, _V3(o, o, o), _V3(d, o, o), 1e-3, W4,
+                    with_attrs=True,
+                )
+            )(o, d)
+            assert bool(jnp.isfinite(jnp.sum(jnp.minimum(t2, 1e30))))
+        _PROBE_OK[two_level] = True
     except Exception as e:  # noqa: BLE001 — any lowering failure disables
         import sys
 
         print(
-            f"# packet backend disabled: {type(e).__name__}: {e}",
+            f"# packet backend disabled (two_level={two_level}): "
+            f"{type(e).__name__}: {e}",
             file=sys.stderr,
         )
-        _PROBE_OK = False
-    return _PROBE_OK
+        _PROBE_OK[two_level] = False
+    return _PROBE_OK[two_level]
 
 
 def _packet_kernel(

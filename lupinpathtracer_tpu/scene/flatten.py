@@ -850,14 +850,16 @@ def build_scene_tpu(
             return np.concatenate(lst).astype(np.float32)
         return np.zeros((1, 3), np.float32)
 
-    if use_bvh and sl_count > 0 and not top_root_is_leaf:
+    if sl_count > 0 and not top_root_is_leaf:
         # Eager packet-backend probe (host side — kernels/intersect's
         # _use_packet is consulted during tracing, where a probe cannot
-        # execute). On a backend where the kernel fails to lower, renders
-        # fall back to the sort backend instead of crashing.
+        # execute). Runs for dense-eligible scenes too: force_software_bvh
+        # can flip them onto the BVH path per dispatch. On a backend where
+        # the kernel fails to lower, renders fall back to the sort backend
+        # instead of crashing.
         from ..kernels import pallas_packet
 
-        pallas_packet.probe()
+        pallas_packet.probe(two_level=bool(two_level))
     return SceneTPU(
         num_meshes=nm,
         num_instances=ni,
