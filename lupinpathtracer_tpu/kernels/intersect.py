@@ -592,10 +592,14 @@ def _wf_work_items(skey, n_sl, PB, cnt_sl=None):
             [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_sl[:n_sl])]
         ).astype(jnp.int32)
     else:
-        # seg_start[s] = first sorted position with key >= s.
+        # seg_start[s] = first sorted position with key >= s. method="sort"
+        # (one merged sort, O((QB+n_sl) log)) — compare_all is O(n_sl * QB)
+        # and regresses badly on many-superleaf two-level scenes, which are
+        # exactly the ones that take this fallback now that the in-kernel
+        # histogram is gated to n_sl <= 2048 (ADVICE r3 #4).
         qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
         seg_start = jnp.searchsorted(
-            skey, qs, side="left", method="compare_all"
+            skey, qs, side="left", method="sort"
         ).astype(jnp.int32)
     cnt_sl = seg_start[1:] - seg_start[:-1]  # (n_sl,)
     n_real = seg_start[n_sl]

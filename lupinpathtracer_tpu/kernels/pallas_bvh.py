@@ -99,9 +99,17 @@ def _top_kernel(
     rdx_ref, rdy_ref, rdz_ref,
     bt_ref,
     stack_in_ref, sp_in_ref,
-    sl_ref, cnt_ref, stack_out_ref, sp_out_ref, hist_ref, aabb_ref,
-    *, S, Q, NSLP,
+    sl_ref, cnt_ref, stack_out_ref, sp_out_ref, *hist_aabb_refs,
+    S, Q, NSLP,
 ):
+    # NSLP == 0 disables the in-kernel histogram (output dropped entirely):
+    # the (NSLP, RB) compare intermediates scale linearly with the global
+    # superleaf count (~573 MB of VMEM at 70k instance-superleaves) — huge
+    # two-level scenes take the caller's searchsorted fallback instead.
+    if NSLP > 0:
+        hist_ref, aabb_ref = hist_aabb_refs
+    else:
+        (aabb_ref,) = hist_aabb_refs
     def vec(ref):
         return ref[0].reshape(-1)  # (1, sub, 128) -> (RB,)
 
@@ -219,17 +227,18 @@ def _top_kernel(
     cnt_ref[0] = cnt.reshape(cnt_ref.shape[1:])
     stack_out_ref[0] = stack
     sp_out_ref[0] = sp.reshape(sp_out_ref.shape[1:])
-    # Per-block superleaf-demand histogram: replaces the caller's
-    # O(QB log QB) searchsorted over the sorted keys (measured 9-16 ms per
-    # round at QB=1M) with ~1 ms of VPU compares. hist[s] = #(out == s);
-    # empties (-1) fall outside [0, NSLP).
-    bins = jax.lax.broadcasted_iota(jnp.int32, (NSLP, RB), 0)
-    hist = jnp.zeros((NSLP,), jnp.int32)
-    for q in range(Q):
-        hist = hist + jnp.sum(
-            (bins == out[q][None, :]).astype(jnp.int32), axis=1
-        )
-    hist_ref[0] = hist.reshape(hist_ref.shape[1:])
+    if NSLP > 0:
+        # Per-block superleaf-demand histogram: replaces the caller's
+        # O(QB log QB) searchsorted over the sorted keys (measured 9-16 ms
+        # per round at QB=1M) with ~1 ms of VPU compares. hist[s] =
+        # #(out == s); empties (-1) fall outside [0, NSLP).
+        bins = jax.lax.broadcasted_iota(jnp.int32, (NSLP, RB), 0)
+        hist = jnp.zeros((NSLP,), jnp.int32)
+        for q in range(Q):
+            hist = hist + jnp.sum(
+                (bins == out[q][None, :]).astype(jnp.int32), axis=1
+            )
+        hist_ref[0] = hist.reshape(hist_ref.shape[1:])
     aabb_ref[0] = aabb.reshape(aabb_ref.shape[1:])
 
 
@@ -248,7 +257,13 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
     assert Bp % RB == 0, (Bp, RB)
     n_rb = Bp // RB
     sub = RB // 128
-    NSLP = max(-(-n_sl // 128) * 128, 128)
+    # In-kernel histogram only while the (NSLP, RB) compare intermediates
+    # stay inside the VMEM budget (~2048 bins ≈ 16 MB transient at RB=2048);
+    # beyond that cnt_sl is returned as None and _wf_work_items falls back
+    # to its searchsorted path (ADVICE r3 #1 — 70k-instance scenes were
+    # uncompilable on TPU at ~573 MB).
+    with_hist = n_sl <= 2048
+    NSLP = max(-(-n_sl // 128) * 128, 128) if with_hist else 0
     sub_h = NSLP // 128
 
     def shape3(x):
@@ -259,26 +274,29 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
     vec_spec = pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     stack_spec = pl.BlockSpec((1, S, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sl_spec = pl.BlockSpec((1, Q, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    hist_spec = pl.BlockSpec(
-        (1, sub_h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
 
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((n_rb, Q, RB), jnp.int32),
         jax.ShapeDtypeStruct((n_rb, sub, 128), jnp.int32),
         jax.ShapeDtypeStruct((n_rb, S, RB), jnp.int32),
         jax.ShapeDtypeStruct((n_rb, sub, 128), jnp.int32),
-        jax.ShapeDtypeStruct((n_rb, sub_h, 128), jnp.int32),
-        jax.ShapeDtypeStruct((n_rb, sub, 128), jnp.int32),
-    )
-    sl, cnt, stack_o, sp_o, hist, aabb = pl.pallas_call(
+    ]
+    out_specs = [sl_spec, vec_spec, stack_spec, vec_spec]
+    if with_hist:
+        out_shapes.append(jax.ShapeDtypeStruct((n_rb, sub_h, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, sub_h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ))
+    out_shapes.append(jax.ShapeDtypeStruct((n_rb, sub, 128), jnp.int32))
+    out_specs.append(vec_spec)
+    outs = pl.pallas_call(
         functools.partial(_top_kernel, S=S, Q=Q, NSLP=NSLP),
         grid=(n_rb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [vec_spec] * 7
         + [stack_spec, vec_spec],
-        out_specs=(sl_spec, vec_spec, stack_spec, vec_spec, hist_spec, vec_spec),
-        out_shape=out_shapes,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -290,12 +308,18 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
         shape3(best_t),
         stack_blocks, shape3(sp),
     )
+    if with_hist:
+        sl, cnt, stack_o, sp_o, hist, aabb = outs
+        cnt_sl = jnp.sum(hist.reshape(n_rb, NSLP), axis=0)
+    else:
+        sl, cnt, stack_o, sp_o, aabb = outs
+        cnt_sl = None
     return (
         sl.transpose(1, 0, 2).reshape(Q, Bp),
         cnt.reshape(Bp),
         stack_o.transpose(1, 0, 2).reshape(S, Bp),
         sp_o.reshape(Bp),
-        jnp.sum(hist.reshape(n_rb, NSLP), axis=0),
+        cnt_sl,
         aabb.reshape(Bp),
     )
 

@@ -229,6 +229,7 @@ def _runtime_checks(scene, baked: BakedPathtraceParams):
     if key in _VALIDATED_SCENES:
         return
     import numpy as _np
+    import weakref as _weakref
 
     checks = {
         "wt_mat": (int(jnp.max(scene.wt_mat)), max(scene.num_materials, 1)),
@@ -246,6 +247,11 @@ def _runtime_checks(scene, baked: BakedPathtraceParams):
         "scene validation: non-finite material colors"
     )
     _VALIDATED_SCENES.add(key)
+    # Purge on GC: CPython reuses id()s, so a dead scene's entry must not
+    # validate an unrelated new scene; this also bounds the cache size
+    # (ADVICE r3 #3). SceneTPU holds jax arrays, so it is not hashable —
+    # id + finalize instead of a WeakSet.
+    _weakref.finalize(scene, _VALIDATED_SCENES.discard, key)
 
 
 _VALIDATED_SCENES: set = set()

@@ -42,6 +42,24 @@ import pytest  # noqa: E402
 REFERENCE_SCENES = "/root/reference/test_scenes"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full interpret-mode sweeps (minutes each on a 1-core host); "
+        "excluded from the <3-min core set",
+    )
+    config.addinivalue_line(
+        "markers", "fast: core regression set — auto-applied to every test "
+        "not marked slow, so `pytest -m fast` is the quick gate",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

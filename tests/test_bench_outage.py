@@ -1,0 +1,59 @@
+"""bench.py outage-proofing (VERDICT r3 #2): a simulated backend-init
+failure must produce a parseable structured JSON record, and a flap that
+heals must succeed on retry — never a bare rc=1 traceback."""
+
+import json
+
+import bench
+
+
+def test_backend_retry_then_success(monkeypatch):
+    import jax
+
+    calls = {"n": 0}
+
+    def flaky_devices():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE"
+            )
+        return ["cpu0"]
+
+    monkeypatch.setattr(jax, "devices", flaky_devices)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    ok, backend, detail = bench._wait_for_backend(attempts=4)
+    assert ok and detail is None
+    assert calls["n"] == 3
+
+
+def test_backend_final_failure_is_structured(monkeypatch, capsys):
+    import jax
+
+    def dead_devices():
+        raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
+
+    monkeypatch.setattr(jax, "devices", dead_devices)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    ok, backend, detail = bench._wait_for_backend(attempts=2)
+    assert not ok and "UNAVAILABLE" in detail
+
+    bench._emit_backend_unavailable(detail)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)  # the driver must be able to parse it
+    assert rec["error"] == "backend_unavailable"
+    assert rec["value"] == 0 and rec["vs_baseline"] == 0.0
+    assert "UNAVAILABLE" in rec["detail"]
+
+
+def test_traversal_backend_labels():
+    """The bench must report which traversal each config actually used."""
+
+    from lupinpathtracer_tpu.io import builtin
+    from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
+
+    scene, _ = builtin.build_scene_cornell_box()
+    tpu = build_scene_tpu(scene)
+    assert bench._traversal_backend(tpu) in (
+        "dense-mxu", "packet", "sort-wavefront"
+    )

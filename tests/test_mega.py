@@ -35,6 +35,7 @@ def _pixel_grid(W, H):
 
 
 @pytest.mark.parametrize("ptype", [PathtraceType.STANDARD, PathtraceType.NAIVE])
+@pytest.mark.slow
 def test_mega_matches_wavefront(cornell, ptype):
     tpu, cam = cornell
     assert pallas_mega.applicable(tpu, int(ptype))
@@ -75,6 +76,7 @@ def test_mega_matches_wavefront(cornell, ptype):
     assert abs(m_f - m_ref) < 0.02 * max(m_ref, 1e-6), (m_f, m_ref)
 
 
+@pytest.mark.slow
 def test_mega_unaligned_batch(cornell):
     """A non-128-multiple pixel count pads internally and unpads exactly."""
 

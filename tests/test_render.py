@@ -172,6 +172,7 @@ def test_sharded_matches_single(cornell):
 @pytest.mark.parametrize(
     "ptype", [PathtraceType.STANDARD, PathtraceType.MIS]
 )
+@pytest.mark.slow
 def test_regen_matches_sequential_spp(cornell, ptype):
     """pathtrace_spp (wavefront path regeneration) must reproduce the
     sequential per-sample loop bit-for-bit on an opaque scene: same RNG
@@ -228,6 +229,7 @@ def test_regen_matches_sequential_spp(cornell, ptype):
         )
 
 
+@pytest.mark.slow
 def test_sharded_bvh_scene_8dev(rng):
     """Tile-sharded rendering of a BVH (superleaf wavefront) scene on the
     full 8-device CPU mesh must match the single-device render — the
@@ -262,6 +264,7 @@ def test_sharded_bvh_scene_8dev(rng):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_force_software_bvh_backend_flip(cornell):
     """PathtraceDesc.force_software_bvh flips a dense-eligible scene onto
     the wavefront BVH backend per dispatch (renderer.rs:764, :772) — both

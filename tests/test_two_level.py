@@ -21,6 +21,9 @@ from lupinpathtracer_tpu.render import renderer
 from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
 from lupinpathtracer_tpu.scene.scene import InstanceCPU, MeshCPU, SceneCPU
 
+# Full interpret-mode sweeps: minutes each on this 1-core host.
+pytestmark = pytest.mark.slow
+
 
 def _rot_y(a):
     c, s = np.cos(a), np.sin(a)

@@ -32,6 +32,7 @@ def test_orbit_transform_preserves_distance():
 
 
 @pytest.mark.parametrize("integrator", ["standard"])
+@pytest.mark.slow
 def test_viewer_orbit_end_to_end(tmp_path, integrator):
     out = tmp_path / "frames"
     viewer.main([
