@@ -73,11 +73,10 @@ def _use_pallas() -> bool:
 # wavefront remains the debug-counter backend and the fallback for
 # two-level scenes whose gsl/transform tables exceed the SMEM budget.
 # Set LUPIN_NO_PACKET=1 to force the sort backend everywhere.
-def _use_packet(scene) -> bool:
-    import os
+def packet_eligible(scene) -> bool:
+    """Whether the packet kernel can take this scene at all (static
+    capacity gates, independent of the probe's verdict)."""
 
-    if os.environ.get("LUPIN_NO_PACKET"):
-        return False
     if scene.top_root_is_leaf:
         return False
     if scene.two_level and not (
@@ -85,12 +84,25 @@ def _use_packet(scene) -> bool:
         scene.sl_count <= 16384 and scene.num_instances <= 4096
     ):
         return False
+    return True
+
+
+def _use_packet(scene) -> bool:
+    import os
+
+    if os.environ.get("LUPIN_NO_PACKET"):
+        return False
+    if not packet_eligible(scene):
+        return False
     from . import pallas_packet
 
     # The probe runs eagerly in build_scene_tpu (host side — this function
     # is called during tracing, where a probe cannot execute). An unprobed
-    # variant means no such scene was built this process; treat as OK.
-    return pallas_packet._PROBE_OK.get(bool(scene.two_level)) is not False
+    # signature means no such scene was built this process; treat as OK —
+    # the renderer's dispatch-time fallback (renderer.pathtrace_scene)
+    # still catches a failure there.
+    key = pallas_packet.scene_probe_key(scene)
+    return pallas_packet._PROBE_OK.get(key) is not False
 
 
 # ---------------------------------------------------------------------------

@@ -87,84 +87,138 @@ def _pack_top(tab: jnp.ndarray):
     return geo, refs
 
 
-_PROBE_OK: dict = {}  # {two_level: bool} — see probe()
+_PROBE_OK: dict = {}  # {scene_probe_key(scene): bool} — see probe_scene()
 
 
-def probe(two_level: bool = False) -> bool:
-    """One-time compile+run probe of the packet kernel on this backend.
+def scene_probe_key(scene) -> tuple:
+    """Static specialization signature of the packet kernel for a scene:
+    everything that changes the Mosaic lowering or its SMEM/VMEM budgets
+    (kernel constants SP/NSUB/AWOUT/TWO_LEVEL plus the stack depth and the
+    SMEM table extents). All fields are static pytree leaves, so this is
+    callable during tracing."""
+
+    return (
+        bool(scene.two_level),
+        int(scene.sl_stride),
+        int(scene.sl_sub.shape[1]),
+        bool(scene.any_normal_maps),
+        int(scene.top_depth),
+        int(scene.sl_count),
+        int(scene.num_instances),
+    )
+
+
+def disable(scene, reason: str) -> None:
+    """Mark this scene's packet specialization bad; subsequent dispatches
+    re-trace onto the sort-wavefront backend (intersect._use_packet)."""
+
+    import sys
+
+    key = scene_probe_key(scene)
+    if _PROBE_OK.get(key) is not False:
+        print(
+            f"# packet backend disabled for signature {key}: {reason}; "
+            "falling back to the sort wavefront",
+            file=sys.stderr,
+        )
+    _PROBE_OK[key] = False
+
+
+def _probe_rays(scene, n=256):
+    """Deterministic ray bundle spanning the scene's world bounds: origins
+    on a sphere outside the root AABB, directions toward jittered interior
+    targets — a mix of hits and misses through the real top tree."""
+
+    import numpy as np
+
+    t3 = np.asarray(scene.top_tab[:1].astype(jnp.float32)).reshape(
+        1, TOP_FAN, CH_STRIDE
+    )[0]
+    used = t3[:, CH_LO.start] < 1e37
+    lo = t3[used][:, CH_LO].min(axis=0)
+    hi = t3[used][:, CH_HI].max(axis=0)
+    c = (lo + hi) * 0.5
+    r = float(np.linalg.norm(hi - lo)) * 0.5 + 1e-3
+    g = np.random.default_rng(0)
+    u = g.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    o = c + 1.6 * r * u
+    tgt = c + 0.35 * r * g.normal(size=(n, 3))
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o32, d32 = o.astype(np.float32), d.astype(np.float32)
+    return (
+        V3(jnp.asarray(o32[:, 0]), jnp.asarray(o32[:, 1]), jnp.asarray(o32[:, 2])),
+        V3(jnp.asarray(d32[:, 0]), jnp.asarray(d32[:, 1]), jnp.asarray(d32[:, 2])),
+    )
+
+
+def probe_scene(scene) -> bool:
+    """One-time compile + CORRECTNESS probe of the packet kernel at the
+    actual scene's static shapes (ADVICE r3 #2 — the old toy probe proved
+    lowering at SP=128/NSUB=1 only, and only asserted finiteness).
 
     The kernel leans on Mosaic features (DMA inside a data-dependent
     while, dynamic VMEM row reads, SMEM stacks) that only the real TPU
-    lowering exercises; callers gate the backend on this so an
-    environment where any of it fails to lower falls back to the sort
-    backend instead of breaking every render. The single-level probe
-    covers BOTH specializations a render can hit (plain and fused-attrs);
-    the two-level probe covers the SMEM-table/transform branch."""
+    lowering exercises, and a hardware miscompile can return
+    wrong-but-finite results. So on TPU this traces 256 synthetic rays
+    through the REAL scene tables with BOTH the packet kernel and the jnp
+    masked-stack reference walk and compares: any lowering failure OR
+    result mismatch disables the signature, and every render of a scene
+    with this signature falls back to the sort wavefront instead of
+    crashing or rendering wrong. Cached per signature per process.
+    LUPIN_SKIP_PROBE=1 skips the probe compiles (trusts the kernel)."""
 
-    if two_level in _PROBE_OK:
-        return _PROBE_OK[two_level]
+    import os
+
+    key = scene_probe_key(scene)
+    if key in _PROBE_OK:
+        return _PROBE_OK[key]
     if jax.default_backend() != "tpu":
-        _PROBE_OK[two_level] = True  # interpret — covered by the test suite
+        _PROBE_OK[key] = True  # interpret — covered by the test suite
+        return True
+    if os.environ.get("LUPIN_SKIP_PROBE"):
+        _PROBE_OK[key] = True
         return True
     try:
         import numpy as np
 
-        from ..accel.superleaf import build_top_table
+        from . import intersect as it
 
-        lo = np.array([[0, 0, 0], [4, 0, 0]], np.float32)
-        hi = lo + 1
-        tab, _, root_leaf, depth = build_top_table(lo, hi)
-        assert not root_leaf
-        SPp = 128
-        sub = jnp.zeros((2, 1, 8), jnp.float32).at[:, :, 6].set(1.0)
-        sub = sub.at[0, 0, 0:3].set(lo[0]).at[0, 0, 3:6].set(hi[0])
-        sub = sub.at[1, 0, 0:3].set(lo[1]).at[1, 0, 3:6].set(hi[1])
-
-        class _S:
-            top_tab = jnp.asarray(tab)
-            sl_stride = SPp
-            sl_sub = sub
-            top_depth = depth
-            top_root_is_leaf = False
-            any_normal_maps = False
-            wt_attr = jnp.zeros((2 * SPp, 128), jnp.float32)
-            gsl_msl = jnp.arange(2, dtype=jnp.int32)
-            gsl_inst = jnp.zeros(2, jnp.int32)
-            inst_inv = jnp.broadcast_to(
-                jnp.eye(3, 4, dtype=jnp.float32), (1, 3, 4)
-            )
-
-        _S.two_level = bool(two_level)
-        W4 = jnp.zeros((4, 10, 2 * SPp), jnp.float32)
-        from ..core.vec3 import V3 as _V3
-
-        o = jnp.zeros(256, jnp.float32)
-        d = jnp.ones(256, jnp.float32)
-        t, *_ = jax.jit(
-            lambda o, d: packet_traverse(
-                _S, _V3(o, o, o), _V3(d, o, o), 1e-3, W4
-            )
-        )(o, d)
-        assert bool(jnp.isfinite(jnp.sum(jnp.minimum(t, 1e30))))
-        if not two_level:
-            t2, *_ = jax.jit(
-                lambda o, d: packet_traverse(
-                    _S, _V3(o, o, o), _V3(d, o, o), 1e-3, W4,
-                    with_attrs=True,
-                )
-            )(o, d)
-            assert bool(jnp.isfinite(jnp.sum(jnp.minimum(t2, 1e30))))
-        _PROBE_OK[two_level] = True
-    except Exception as e:  # noqa: BLE001 — any lowering failure disables
-        import sys
-
-        print(
-            f"# packet backend disabled (two_level={two_level}): "
-            f"{type(e).__name__}: {e}",
-            file=sys.stderr,
+        ro, rd = _probe_rays(scene)
+        W4 = it.scene_tri_matrix(scene)
+        ref = jax.jit(lambda o, d: it.closest_hit_bvh(scene, o, d, 1e-4))(
+            ro, rd
         )
-        _PROBE_OK[two_level] = False
-    return _PROBE_OK[two_level]
+        ref_hit = np.asarray(ref.hit)
+        ref_t = np.asarray(ref.dst)
+        t, u, v, det, tri = jax.jit(
+            lambda o, d: packet_traverse(scene, o, d, 1e-4, W4)
+        )(ro, rd)
+        tn = np.asarray(t)
+        hit = tn < F32_MAX
+        assert (hit == ref_hit).all(), "hit-mask mismatch vs stack walk"
+        if ref_hit.any():
+            np.testing.assert_allclose(
+                tn[ref_hit], ref_t[ref_hit], rtol=1e-4, atol=1e-5,
+                err_msg="hit-distance mismatch vs stack walk",
+            )
+            same = (np.asarray(tri) == np.asarray(ref.tri))[ref_hit]
+            assert same.mean() > 0.9, "winning-triangle mismatch"
+        if not scene.two_level:
+            t2, *rest = jax.jit(
+                lambda o, d: packet_traverse(
+                    scene, o, d, 1e-4, W4, with_attrs=True
+                )
+            )(ro, rd)
+            np.testing.assert_array_equal(
+                np.asarray(t2), tn, err_msg="fused-attrs t differs"
+            )
+            assert bool(jnp.isfinite(rest[-1]).all()), "non-finite attrs"
+        _PROBE_OK[key] = True
+    except Exception as e:  # noqa: BLE001 — any failure disables
+        disable(scene, f"{type(e).__name__}: {e}")
+    return _PROBE_OK[key]
 
 
 def _packet_kernel(

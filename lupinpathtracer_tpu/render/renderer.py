@@ -257,6 +257,31 @@ def _runtime_checks(scene, baked: BakedPathtraceParams):
 _VALIDATED_SCENES: set = set()
 
 
+def _dispatch_packet_safe(scene, thunk):
+    """Dispatch-time safety valve for the packet traversal (ADVICE r3 #2).
+
+    The build-time probe (pallas_packet.probe_scene) compiles the kernel at
+    the scene's shapes, but the render dispatch compiles a DIFFERENT grid
+    (full ray-batch block count): if that lowering or execution fails, mark
+    the scene's packet signature bad and re-trace once — the retry takes
+    the sort-wavefront backend instead of crashing the render."""
+
+    try:
+        return thunk()
+    except Exception as e:  # noqa: BLE001 — one targeted retry, then raise
+        from ..kernels import intersect as _it
+        from ..kernels import pallas_packet
+
+        if not (
+            scene.use_bvh and scene.sl_count > 0 and _it._use_packet(scene)
+        ):
+            raise
+        pallas_packet.disable(
+            scene, f"dispatch failed: {type(e).__name__}: {e}"
+        )
+        return thunk()
+
+
 def pathtrace_scene(
     scene, image, desc: PathtraceDesc, baked: BakedPathtraceParams
 ):
@@ -267,7 +292,7 @@ def pathtrace_scene(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _render_pathtrace(
+    return _dispatch_packet_safe(scene, lambda: _render_pathtrace(
         scene,
         image,
         _camera_args(desc),
@@ -283,7 +308,7 @@ def pathtrace_scene(
         ptype=int(desc.pathtrace_type),
         is_ortho=bool(desc.camera_params.is_orthographic),
         accumulate=bool(desc.accum_params.accumulate),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -449,7 +474,7 @@ def pathtrace_scene_falsecolor(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _render_falsecolor(
+    return _dispatch_packet_safe(scene, lambda: _render_falsecolor(
         scene,
         image,
         _camera_args(desc),
@@ -463,7 +488,7 @@ def pathtrace_scene_falsecolor(
         fc_type=int(falsecolor_type),
         is_ortho=bool(desc.camera_params.is_orthographic),
         accumulate=bool(desc.accum_params.accumulate),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +629,7 @@ def pathtrace_scene_debug(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _render_debug(
+    return _dispatch_packet_safe(scene, lambda: _render_debug(
         scene,
         image,
         _camera_args(desc),
@@ -620,7 +645,7 @@ def pathtrace_scene_debug(
         max_bounces=int(baked.max_bounces),
         is_ortho=bool(desc.camera_params.is_orthographic),
         accumulate=bool(desc.accum_params.accumulate),
-    )
+    ))
 
 
 def new_accumulation_buffer(width: int, height: int):

@@ -850,17 +850,7 @@ def build_scene_tpu(
             return np.concatenate(lst).astype(np.float32)
         return np.zeros((1, 3), np.float32)
 
-    if sl_count > 0 and not top_root_is_leaf:
-        # Eager packet-backend probe (host side — kernels/intersect's
-        # _use_packet is consulted during tracing, where a probe cannot
-        # execute). Runs for dense-eligible scenes too: force_software_bvh
-        # can flip them onto the BVH path per dispatch. On a backend where
-        # the kernel fails to lower, renders fall back to the sort backend
-        # instead of crashing.
-        from ..kernels import pallas_packet
-
-        pallas_packet.probe(two_level=bool(two_level))
-    return SceneTPU(
+    scene_tpu = SceneTPU(
         num_meshes=nm,
         num_instances=ni,
         num_materials=nmat,
@@ -982,3 +972,17 @@ def build_scene_tpu(
             np.asarray(light_tri_count_l, np.int32) if nl else np.zeros(1, np.int32)
         ),
     )
+    from ..kernels.intersect import packet_eligible
+
+    if sl_count > 0 and packet_eligible(scene_tpu):
+        # Eager packet-backend probe at the ACTUAL scene's static shapes
+        # (host side — kernels/intersect's _use_packet is consulted during
+        # tracing, where a probe cannot execute). Runs for dense-eligible
+        # scenes too: force_software_bvh can flip them onto the BVH path
+        # per dispatch. On a backend where the kernel fails to lower — or
+        # miscompiles into wrong results — renders of this scene fall back
+        # to the sort backend instead of crashing or rendering wrong.
+        from ..kernels import pallas_packet
+
+        pallas_packet.probe_scene(scene_tpu)
+    return scene_tpu
