@@ -180,6 +180,24 @@ def main():
         print(f"# materials1 bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # Fourth config (VERDICT r3 #4): the reference's multi-M-triangle
+    # envelope (README.md:20-37 Bistro/Classroom class). No such asset is in
+    # the corpus, so a checked-in deterministic generator builds one.
+    env_metric = None
+    try:
+        from lupinpathtracer_tpu.io.synthetic import build_scene_terrain
+
+        env_metric = bench_bvh_scene(
+            name="terrain2M",
+            metric="terrain_2Mtris_512x288_8bounce_4spp_bvh",
+            cam_idx=0,
+            builder=lambda: build_scene_terrain(n_tris=2_000_000, seed=0),
+            W=512, H=288, SPP=4,
+        )
+    except Exception as e:
+        print(f"# terrain2M bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     out = {
         "metric": "cornellbox_512_8bounce_64spp_ray_throughput",
         "value": round(mrays, 2),
@@ -191,6 +209,8 @@ def main():
         out["bvh_secondary"] = bvh_metric
     if mat_metric:
         out["bvh_textured"] = mat_metric
+    if env_metric:
+        out["bvh_envelope_2M"] = env_metric
     print(json.dumps(out))
 
 
@@ -198,9 +218,16 @@ def bench_bvh_scene(
     name="arealights1",
     metric="arealights1_456ktris_512x256_8bounce_8spp_bvh",
     cam_idx=1,
+    builder=None,
+    W=512,
+    H=256,
+    SPP=8,
 ):
     """A corpus scene through the wavefront BVH path: full paths
-    (intersect + shade + NEE), honest traced-segment count."""
+    (intersect + shade + NEE), honest traced-segment count.
+
+    `builder`, if given, is a zero-arg callable returning (SceneCPU, cams)
+    — used for the synthetic envelope configs that have no JSON asset."""
 
     import jax
     import jax.numpy as jnp
@@ -218,13 +245,14 @@ def bench_bvh_scene(
     from lupinpathtracer_tpu.render.camera import compute_camera_ray
     from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
 
-    W, H = 512, 256
-    SPP = 8
     BOUNCES = 8
 
-    scene, cams = yocto_json.load_scene_yoctogl_v24(
-        f"/root/reference/test_scenes/{name}/{name}.json"
-    )
+    if builder is not None:
+        scene, cams = builder()
+    else:
+        scene, cams = yocto_json.load_scene_yoctogl_v24(
+            f"/root/reference/test_scenes/{name}/{name}.json"
+        )
     tpu = build_scene_tpu(scene)
     assert tpu.use_bvh and tpu.sl_count > 0
     desc = PathtraceDesc()
