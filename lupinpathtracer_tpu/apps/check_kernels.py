@@ -133,6 +133,54 @@ def main():
         )
     )
 
+    # TL_STREAM variant: the sphere instanced 5x as a two-level scene with
+    # LUPIN_PACKET_STREAM forced, so the HBM-streamed per-leaf metadata
+    # lowering (4-slot SMEM ring, 3-stage DMA pipeline) compiles too.
+    sph5 = SceneCPU(
+        meshes=sph.meshes,
+        instances=[
+            InstanceCPU(
+                frame=np.array(
+                    [[1, 0, 0, 2.5 * k], [0, 1, 0, 0], [0, 0, 1, 0]],
+                    np.float32,
+                ),
+                mesh_idx=0, mat_idx=0,
+            )
+            for k in range(5)
+        ],
+        materials=[Material()],
+        environments=[],
+        textures=[],
+    )
+    stream_tpu = build_scene_tpu(sph5, dense_max_tris=64, two_level=True)
+
+    def _check_stream():
+        import os
+
+        from ..core.vec3 import V3
+        from ..kernels import intersect as _it
+        from ..kernels import pallas_packet as _pp
+
+        old = os.environ.get("LUPIN_PACKET_STREAM")
+        os.environ["LUPIN_PACKET_STREAM"] = "1"
+        try:
+            assert not _pp.smem_tables_fit(stream_tpu)
+            W4 = _it.scene_tri_matrix(stream_tpu)
+            n = 256
+            ro = V3(
+                jnp.linspace(-1.0, 11.0, n), jnp.full(n, 8.0),
+                jnp.zeros(n),
+            )
+            rd = V3(jnp.zeros(n), jnp.full(n, -1.0), jnp.zeros(n))
+            return _pp.packet_traverse(stream_tpu, ro, rd, 1e-3, W4)[0]
+        finally:
+            if old is None:
+                os.environ.pop("LUPIN_PACKET_STREAM", None)
+            else:
+                os.environ["LUPIN_PACKET_STREAM"] = old
+
+    checks.append(("packet BVH [TL_STREAM two-level]", _check_stream))
+
     if len(jax.devices()) >= 2:
         from ..parallel.sharding import make_tile_mesh, render_progressive_sharded
 

@@ -90,6 +90,24 @@ def _pack_top(tab: jnp.ndarray):
 _PROBE_OK: dict = {}  # {scene_probe_key(scene): bool} — see probe_scene()
 
 
+def smem_tables_fit(scene) -> bool:
+    """Whether the two-level gsl/transform tables fit SMEM-resident.
+
+    SMEM is ~1MB; the resident mode spends 8 B per global superleaf
+    (gsl_msl+gsl_inst) + 48 B per instance (inst_inv) + ~4.6 B/gsl for the
+    child-ref table, so the classic gates keep it under ~400 KB. Beyond
+    them the kernel switches to TL_STREAM: per-leaf 64-byte DMA of
+    scene.gsl_meta rows from HBM (only the child-ref table stays in SMEM),
+    raising the envelope to LUPIN_PACKET_MAX_GSL global superleaves.
+    LUPIN_PACKET_STREAM=1 forces streaming (test/tuning knob)."""
+
+    import os
+
+    if os.environ.get("LUPIN_PACKET_STREAM"):
+        return False
+    return scene.sl_count <= 16384 and scene.num_instances <= 4096
+
+
 def scene_probe_key(scene) -> tuple:
     """Static specialization signature of the packet kernel for a scene:
     everything that changes the Mosaic lowering or its SMEM/VMEM budgets
@@ -105,6 +123,9 @@ def scene_probe_key(scene) -> tuple:
         int(scene.top_depth),
         int(scene.sl_count),
         int(scene.num_instances),
+        # SMEM-resident vs HBM-streamed two-level tables: distinct
+        # lowerings (env overridable, so not derivable from the counts).
+        bool(scene.two_level) and smem_tables_fit(scene),
     )
 
 
@@ -224,13 +245,19 @@ def probe_scene(scene) -> bool:
 def _packet_kernel(
     geo_ref, refs_ref, sub_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
     rdz_ref, act_ref, W_ref, *rest,
-    SP, NSUB, PBK, AWOUT, TWO_LEVEL, interpret,
+    SP, NSUB, PBK, AWOUT, TWO_LEVEL, TL_STREAM, interpret,
 ):
     # Optional phases reshape the tail of the signature:
-    #   two-level: + gmsl/ginst/txf SMEM inputs (before A/eps)
+    #   two-level SMEM mode: + gmsl/ginst/txf SMEM inputs (before A/eps)
+    #   two-level STREAM mode: + gmeta HBM input; meta/msem scratch (tail)
     #   with attrs: A_ref input | ia_ref output | av_ref scratch
     rest = list(rest)
-    if TWO_LEVEL:
+    if TL_STREAM:
+        gmeta_ref = rest[0]
+        rest = rest[1:]
+        meta_ref, msem_ref = rest[-2:]
+        rest = rest[:-2]
+    elif TWO_LEVEL:
         gmsl_ref, ginst_ref, txf_ref = rest[:3]
         rest = rest[3:]
     if AWOUT:
@@ -314,34 +341,38 @@ def _packet_kernel(
             jnp.max(jnp.where(hit8, pow2, 0), axis=1), dtype=jnp.int32
         )
 
+    def _mesh_frame(m):
+        """Instance-transformed ray frame from 12 inverse-transform scalars
+        (direction unnormalized so t stays world-scaled,
+        bvh_custom.wgsl:30-35)."""
+
+        lox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+        loy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+        loz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+        ldx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+        ldy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+        ldz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+        lcx = loy * ldz - loz * ldy
+        lcy = loz * ldx - lox * ldz
+        lcz = lox * ldy - loy * ldx
+        RTl = jnp.stack(
+            [ldx, ldy, ldz, lcx, lcy, lcz, lox, loy, loz,
+             jnp.ones_like(lox)],
+            axis=0,
+        )
+        return RTl, (lox, loy, loz), (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
+
     def leaf_compute(gref, buf):
         """Intersect the (already-DMA'd) leaf `gref` from buffer slot
         `buf`: masked sub-chunk mini-visits + winner pick."""
 
         if TWO_LEVEL:
             # gref is a GLOBAL (instance x mesh-superleaf) id: move the
-            # rays into mesh space by the instance's inverse transform
-            # (direction unnormalized so t stays world-scaled,
-            # bvh_custom.wgsl:30-35); intersect the MESH superleaf.
+            # rays into mesh space by the instance's inverse transform;
+            # intersect the MESH superleaf.
             wref = gmsl_ref[gref]
             inst = ginst_ref[gref]
-            m = [txf_ref[inst, j] for j in range(12)]
-            lox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
-            loy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
-            loz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
-            ldx = m[0] * rdx + m[1] * rdy + m[2] * rdz
-            ldy = m[4] * rdx + m[5] * rdy + m[6] * rdz
-            ldz = m[8] * rdx + m[9] * rdy + m[10] * rdz
-            lcx = loy * ldz - loz * ldy
-            lcy = loz * ldx - lox * ldz
-            lcz = lox * ldy - loy * ldx
-            RTl = jnp.stack(
-                [ldx, ldy, ldz, lcx, lcy, lcz, lox, loy, loz,
-                 jnp.ones_like(lox)],
-                axis=0,
-            )
-            ol = (lox, loy, loz)
-            ivl = (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
+            RTl, ol, ivl = _mesh_frame([txf_ref[inst, j] for j in range(12)])
         else:
             wref = gref
             RTl = RT
@@ -355,6 +386,25 @@ def _packet_kernel(
                 sem_ref.at[buf],
             ).wait()
 
+        _isect_core(wref, gref, buf, RTl, ol, ivl)
+
+    def leaf_compute_stream(gref, cbuf, mbuf):
+        """TL_STREAM retire: the leaf's 64-byte gsl_meta row landed in
+        meta_ref[mbuf] (waited when its coefficient DMA was started) and
+        its coefficient block is in flight into wv_ref[cbuf]."""
+
+        wref = meta_ref[mbuf, 0].astype(jnp.int32)
+        if not interpret:
+            pltpu.make_async_copy(
+                W_ref.at[:, :, pl.ds(wref * SP, SP)], wv_ref.at[cbuf],
+                sem_ref.at[cbuf],
+            ).wait()
+        RTl, ol, ivl = _mesh_frame(
+            [meta_ref[mbuf, 2 + j] for j in range(12)]
+        )
+        _isect_core(wref, gref, cbuf, RTl, ol, ivl)
+
+    def _isect_core(wref, gref, buf, RTl, ol, ivl):
         sbits = slab_bits(sub_ref[wref], bt_ref[...], o=ol, iv=ivl)
 
         for sb in range(NSUB):
@@ -415,15 +465,15 @@ def _packet_kernel(
                     upd, gref * SP + lo + li, bi_ref[...]
                 )
 
-    def body(c):
-        sp, pend, par = c
+    def _step_internal(sp):
+        """Shared pop: (8, PBK) slab test of an internal row, one bitmask
+        per pop, ordered pushes. The row read is clamped so a leaf pop
+        never reads a leaf id as a row index; the result is discarded via
+        the bits mask."""
+
         pref = stack_ref[sp - 1]
         is_leaf = pref & 1
         ref = pref >> 1
-
-        # ---- internal node: (8, PBK) slab test, one bitmask per pop ----
-        # The row read is clamped so a leaf pop never reads a leaf id as a
-        # row index; the result is discarded via the bits mask below.
         rref = jnp.where(is_leaf == 0, ref, 0)
         bits = slab_bits(geo_ref[rref], bt_ref[...])
         bits = jnp.where(is_leaf == 0, bits, 0)
@@ -437,6 +487,11 @@ def _packet_kernel(
                 stack_ref[sp2] = refs_ref[rref, c2]
 
             sp2 = sp2 + pushed
+        return is_leaf, ref, sp2
+
+    def body(c):
+        sp, pend, par = c
+        is_leaf, ref, sp2 = _step_internal(sp)
 
         # ---- leaf: software pipeline. Start THIS leaf's DMA into
         # buffer `par`, then intersect the PREVIOUS pending leaf from the
@@ -463,15 +518,105 @@ def _packet_kernel(
         new_par = jnp.where(is_leaf == 1, 1 - par, par)
         return sp2, new_pend, new_par
 
-    fc = jax.lax.while_loop(
-        lambda c: (c[0] > 0) & any_active, body,
-        (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
-    )
-    _, pend_f, par_f = fc
+    def body_stream(c):
+        """TL_STREAM: the leaf metadata (mesh superleaf + transform) lives
+        in HBM, so the pipeline gains a stage. Per leaf pop L:
 
-    @pl.when(pend_f > 0)
-    def _drain_last():
-        leaf_compute(pend_f - 1, 1 - par_f)
+          B. promote p1 (popped one leaf ago): wait its 64-byte meta DMA
+             (it had the whole inter-leaf window to land), read its mesh-
+             superleaf id, start its big coefficient DMA;
+          A. retire p2 (popped two leaves ago): its coefficient DMA has
+             been flying since the previous pop — compute it now, which
+             also overlaps p1's coefficient copy;
+          C. start THIS leaf's meta DMA (slot parm of 4; a slot is live
+             for at most 2 subsequent leaf pops).
+
+        p1g/p2g hold gref+1 (0 = empty); p1m/p2m their meta slots; p2c the
+        coefficient buffer."""
+
+        sp, p1g, p1m, p2g, p2c, p2m, parm, parc = c
+        is_leaf, ref, sp2 = _step_internal(sp)
+
+        @pl.when(is_leaf == 1)
+        def _leaf():
+            @pl.when(p1g > 0)
+            def _promote():
+                if interpret:
+                    w1 = meta_ref[p1m, 0].astype(jnp.int32)
+                    wv_ref[parc] = W_ref[:, :, pl.ds(w1 * SP, SP)]
+                else:
+                    pltpu.make_async_copy(
+                        gmeta_ref.at[p1g - 1], meta_ref.at[p1m],
+                        msem_ref.at[p1m],
+                    ).wait()
+                    w1 = meta_ref[p1m, 0].astype(jnp.int32)
+                    pltpu.make_async_copy(
+                        W_ref.at[:, :, pl.ds(w1 * SP, SP)], wv_ref.at[parc],
+                        sem_ref.at[parc],
+                    ).start()
+
+            @pl.when(p2g > 0)
+            def _retire():
+                leaf_compute_stream(p2g - 1, p2c, p2m)
+
+            lref = jnp.where(is_leaf == 1, ref, 0)
+            if interpret:
+                meta_ref[parm] = gmeta_ref[lref]
+            else:
+                pltpu.make_async_copy(
+                    gmeta_ref.at[lref], meta_ref.at[parm], msem_ref.at[parm],
+                ).start()
+
+        leaf = is_leaf == 1
+        started = leaf & (p1g > 0)
+        new_p2g = jnp.where(leaf, p1g, p2g)
+        new_p2c = jnp.where(started, parc, p2c)
+        new_p2m = jnp.where(leaf, p1m, p2m)
+        new_p1g = jnp.where(leaf, ref + 1, p1g)
+        new_p1m = jnp.where(leaf, parm, p1m)
+        new_parm = jnp.where(leaf, (parm + 1) & 3, parm)
+        new_parc = jnp.where(started, 1 - parc, parc)
+        return (sp2, new_p1g, new_p1m, new_p2g, new_p2c, new_p2m,
+                new_parm, new_parc)
+
+    if TL_STREAM:
+        z = jnp.int32(0)
+        fc = jax.lax.while_loop(
+            lambda c: (c[0] > 0) & any_active, body_stream,
+            (jnp.int32(1), z, z, z, z, z, z, z),
+        )
+        _, p1g, p1m, p2g, p2c, p2m, parm, parc = fc
+
+        @pl.when(p2g > 0)
+        def _drain_p2():
+            leaf_compute_stream(p2g - 1, p2c, p2m)
+
+        @pl.when(p1g > 0)
+        def _drain_p1():
+            if interpret:
+                w1 = meta_ref[p1m, 0].astype(jnp.int32)
+                wv_ref[parc] = W_ref[:, :, pl.ds(w1 * SP, SP)]
+            else:
+                pltpu.make_async_copy(
+                    gmeta_ref.at[p1g - 1], meta_ref.at[p1m],
+                    msem_ref.at[p1m],
+                ).wait()
+                w1 = meta_ref[p1m, 0].astype(jnp.int32)
+                pltpu.make_async_copy(
+                    W_ref.at[:, :, pl.ds(w1 * SP, SP)], wv_ref.at[parc],
+                    sem_ref.at[parc],
+                ).start()
+            leaf_compute_stream(p1g - 1, parc, p1m)
+    else:
+        fc = jax.lax.while_loop(
+            lambda c: (c[0] > 0) & any_active, body,
+            (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
+        )
+        _, pend_f, par_f = fc
+
+        @pl.when(pend_f > 0)
+        def _drain_last():
+            leaf_compute(pend_f - 1, 1 - par_f)
 
     sub = PBK // 128
 
@@ -639,7 +784,19 @@ def packet_traverse(
     attr_in, attr_in_specs = [], []
     scr_attr = []
     tl_in, tl_in_specs = [], []
-    if scene.two_level:
+    scr_stream = []
+    TL_STREAM = bool(scene.two_level) and not smem_tables_fit(scene)
+    if TL_STREAM:
+        # Large-instance mode: per-leaf metadata streamed from HBM (64-byte
+        # gsl_meta rows into a 4-slot SMEM ring) instead of SMEM-resident
+        # gsl/transform tables — only the child-ref table stays in SMEM.
+        tl_in = [scene.gsl_meta]
+        tl_in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scr_stream = [
+            pltpu.SMEM((4, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+    elif scene.two_level:
         tl_in = [
             scene.gsl_msl.astype(jnp.int32),
             scene.gsl_inst.astype(jnp.int32),
@@ -664,7 +821,7 @@ def packet_traverse(
         functools.partial(
             _packet_kernel, SP=SP, NSUB=int(scene.sl_sub.shape[1]),
             PBK=PBK, AWOUT=AWOUT, TWO_LEVEL=bool(scene.two_level),
-            interpret=interpret,
+            TL_STREAM=TL_STREAM, interpret=interpret,
         ),
         grid=(n_blk,),
         in_specs=[
@@ -689,7 +846,8 @@ def packet_traverse(
             pltpu.VMEM((PBK,), jnp.int32),
         ]
         + scr_attr
-        + [pltpu.SemaphoreType.DMA((2,))],
+        + [pltpu.SemaphoreType.DMA((2,))]
+        + scr_stream,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),

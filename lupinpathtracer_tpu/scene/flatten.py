@@ -150,6 +150,10 @@ class SceneTPU:
     sl_sub: jnp.ndarray
     gsl_inst: jnp.ndarray  # (G,) i32 instance per global superleaf
     gsl_msl: jnp.ndarray  # (G,) i32 mesh superleaf per global superleaf
+    # (G,16) f32 [msl, inst, inst_inv(12), 0, 0] — HBM-streamed per-leaf
+    # metadata for the packet kernel's large-instance two-level mode;
+    # (1,16) dummy on single-level scenes.
+    gsl_meta: jnp.ndarray
 
     # --- materials SoA (component-major) ---
     mat_color: jnp.ndarray  # (4,M)
@@ -850,6 +854,22 @@ def build_scene_tpu(
             return np.concatenate(lst).astype(np.float32)
         return np.zeros((1, 3), np.float32)
 
+    # Per-global-superleaf streaming metadata for the packet kernel's
+    # HBM-resident two-level mode (kernels/pallas_packet.py TL_STREAM):
+    # one 64-byte row [msl, inst, inst_inv(12), 0, 0] DMA'd per leaf visit
+    # instead of SMEM-resident gsl/transform tables, so the instance
+    # envelope is not SMEM-bound (renderer.rs:317-319 allows 1M instances).
+    # msl/inst ride as f32 (exact to 2^24 — matches the 3-factor child-ref
+    # encoding's 16.7M cap).
+    if two_level:
+        inv12 = inst_inv.reshape(-1, 12)
+        gsl_meta = np.zeros((gsl_msl.shape[0], 16), np.float32)
+        gsl_meta[:, 0] = gsl_msl
+        gsl_meta[:, 1] = gsl_inst
+        gsl_meta[:, 2:14] = inv12[gsl_inst]
+    else:
+        gsl_meta = np.zeros((1, 16), np.float32)
+
     scene_tpu = SceneTPU(
         num_meshes=nm,
         num_instances=ni,
@@ -921,6 +941,7 @@ def build_scene_tpu(
         sl_sub=dev(sl_sub_arr),
         gsl_inst=dev(gsl_inst),
         gsl_msl=dev(gsl_msl),
+        gsl_meta=dev(gsl_meta),
         mat_color=dev(mat_color.T),
         mat_emission=dev(mat_emission.T),
         mat_scattering=dev(mat_scattering.T),

@@ -270,3 +270,121 @@ def test_beyond_64k_instances():
     gsl = np.asarray(h.tri) // tpu.sl_stride
     inst = np.asarray(tpu.gsl_inst)[gsl]
     np.testing.assert_array_equal(inst, ids)
+
+
+def test_packet_stream_mode_matches(both, rng, monkeypatch):
+    """TL_STREAM (HBM-streamed per-leaf metadata, the large-instance mode
+    of kernels/pallas_packet.py) must agree with the flat world-soup walk.
+    Forced on a small scene via LUPIN_PACKET_STREAM so the parity check is
+    cheap; the natural >4096-instance trigger is covered below."""
+
+    from lupinpathtracer_tpu.kernels import pallas_packet
+
+    monkeypatch.setenv("LUPIN_PACKET_STREAM", "1")
+    scene, flat, two = both
+    assert not pallas_packet.smem_tables_fit(two)
+    ro, rd = _rays(rng, 512)
+    W4 = intersect.scene_tri_matrix(two)
+    t, u, v, det, tri = pallas_packet.packet_traverse(
+        two, ro, rd, 1e-4, W4
+    )
+    h1 = intersect.closest_hit(flat, ro, rd, jnp.float32(1e-4))
+    tn = np.asarray(t)
+    hit = tn < 3.4e38
+    np.testing.assert_array_equal(hit, np.asarray(h1.hit))
+    m = np.asarray(h1.hit)
+    np.testing.assert_allclose(
+        tn[m], np.asarray(h1.dst)[m], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_packet_stream_beyond_instance_gate():
+    """A scene past the old SMEM gates (4,500 instances > 4,096) is
+    packet-eligible via TL_STREAM (VERDICT r3 #5: 100k-instance scenes
+    must not silently drop to the sort backend; the remaining gate is
+    LUPIN_PACKET_MAX_GSL on total instance-superleaves). Ground truth is
+    the flat world-soup expansion of the same scene."""
+
+    from lupinpathtracer_tpu.io.synthetic import build_scene_instanced_field
+    from lupinpathtracer_tpu.kernels import pallas_packet
+
+    sc, _cams = build_scene_instanced_field(
+        n_instances=4500, seed=1, tris_per_mesh=32
+    )
+    two = build_scene_tpu(sc, two_level=True)
+    assert two.two_level and two.num_instances > 4096
+    assert not pallas_packet.smem_tables_fit(two)
+    assert intersect.packet_eligible(two)
+
+    flat = build_scene_tpu(sc, two_level=False)
+    rng_ = np.random.default_rng(11)
+    # Downward probes over the field + oblique rays from a shell.
+    n = 256
+    px = rng_.uniform(-50, 50, n).astype(np.float32)
+    pz = rng_.uniform(-50, 50, n).astype(np.float32)
+    ro = v3.V3(jnp.asarray(px), jnp.full(n, 30.0), jnp.asarray(pz))
+    rd_np = np.stack(
+        [rng_.uniform(-0.2, 0.2, n), -np.ones(n), rng_.uniform(-0.2, 0.2, n)]
+    ).astype(np.float32)
+    rd_np /= np.linalg.norm(rd_np, axis=0, keepdims=True)
+    rd = v3.V3(*(jnp.asarray(c) for c in rd_np))
+
+    W4 = intersect.scene_tri_matrix(two)
+    t, u, v, det, tri = pallas_packet.packet_traverse(two, ro, rd, 1e-3, W4)
+    h1 = intersect.closest_hit(flat, ro, rd, jnp.float32(1e-3))
+    tn = np.asarray(t)
+    hit = tn < 3.4e38
+    np.testing.assert_array_equal(hit, np.asarray(h1.hit))
+    m = np.asarray(h1.hit)
+    assert m.mean() > 0.9  # the ground plane alone guarantees hits
+    np.testing.assert_allclose(
+        tn[m], np.asarray(h1.dst)[m], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_packet_stream_100k_instances():
+    """TL_STREAM at true scale: 100k quad instances (VERDICT r3 #5 "Done"
+    bar) walk the packet kernel — exact expected hit distances, and the
+    winning global superleaf identifies the instance."""
+
+    N = 100_000
+    side = 350
+    quad_p = np.array(
+        [[-0.2, 0, -0.2], [0.2, 0, -0.2], [0.2, 0, 0.2], [-0.2, 0, 0.2]],
+        np.float32,
+    )
+    quad = MeshCPU(
+        positions=quad_p,
+        indices=np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=None, texcoords=None, colors=None,
+    )
+    insts = []
+    for i in range(N):
+        frame = np.eye(3, 4, dtype=np.float32)
+        frame[0, 3] = float(i % side)
+        frame[2, 3] = float(i // side)
+        insts.append(InstanceCPU(frame=frame, mesh_idx=0, mat_idx=0))
+    scene = SceneCPU(
+        meshes=[quad], instances=insts, materials=[Material()],
+        environments=[], textures=[],
+    )
+    tpu = build_scene_tpu(scene, two_level=True)
+    assert tpu.sl_count == N and intersect.packet_eligible(tpu)
+
+    from lupinpathtracer_tpu.kernels import pallas_packet
+
+    assert not pallas_packet.smem_tables_fit(tpu)  # natural TL_STREAM
+
+    rng_ = np.random.default_rng(5)
+    ids = rng_.integers(0, N, size=256)
+    ox = (ids % side).astype(np.float32)
+    oz = (ids // side).astype(np.float32)
+    ro = v3.V3(jnp.asarray(ox), jnp.full(256, 5.0), jnp.asarray(oz))
+    rd = v3.V3(jnp.zeros(256), jnp.full(256, -1.0), jnp.zeros(256))
+    W4 = intersect.scene_tri_matrix(tpu)
+    t, u, v, det, tri = pallas_packet.packet_traverse(tpu, ro, rd, 1e-3, W4)
+    tn = np.asarray(t)
+    np.testing.assert_allclose(tn, 5.0, rtol=1e-5)
+    gsl = np.asarray(tri) // tpu.sl_stride
+    inst = np.asarray(tpu.gsl_inst)[gsl]
+    np.testing.assert_array_equal(inst, ids)
