@@ -59,8 +59,13 @@ def _traversal_backend(scene):
     if not (scene.use_bvh and scene.sl_count > 0):
         return "dense-mxu"
     from lupinpathtracer_tpu.kernels.intersect import _use_packet
+    from lupinpathtracer_tpu.kernels.pallas_packet import smem_tables_fit
 
-    return "packet" if _use_packet(scene) else "sort-wavefront"
+    if not _use_packet(scene):
+        return "sort-wavefront"
+    if scene.two_level and not smem_tables_fit(scene):
+        return "packet-stream"
+    return "packet"
 
 
 def main():
@@ -198,6 +203,28 @@ def main():
         print(f"# terrain2M bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # Fifth config (VERDICT r3 #5): the lifted instance envelope — 100k
+    # instances through the packet kernel's TL_STREAM two-level mode
+    # (the reference allows 1M TLAS instances, renderer.rs:317-319).
+    inst_metric = None
+    try:
+        from lupinpathtracer_tpu.io.synthetic import (
+            build_scene_instanced_field,
+        )
+
+        inst_metric = bench_bvh_scene(
+            name="instanced100k",
+            metric="instanced_100k_512x288_8bounce_4spp_bvh",
+            cam_idx=0,
+            builder=lambda: build_scene_instanced_field(
+                n_instances=100_000, seed=0, tris_per_mesh=64
+            ),
+            W=512, H=288, SPP=4,
+        )
+    except Exception as e:
+        print(f"# instanced100k bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     out = {
         "metric": "cornellbox_512_8bounce_64spp_ray_throughput",
         "value": round(mrays, 2),
@@ -211,6 +238,8 @@ def main():
         out["bvh_textured"] = mat_metric
     if env_metric:
         out["bvh_envelope_2M"] = env_metric
+    if inst_metric:
+        out["bvh_instanced_100k"] = inst_metric
     print(json.dumps(out))
 
 
