@@ -568,18 +568,43 @@ def build_scene_tpu(
         # kernel tests them with instance-transformed rays).
         sl_sub_arr = np.concatenate(msl_sub_l)
 
-        g_inst, g_msl, g_lo, g_hi = [], [], [], []
-        for i, inst in enumerate(scene.instances):
-            o, c = msl_of_mesh[inst.mesh_idx]
-            for j in range(c):
-                wlo, whi = math3d.transform_aabb(
-                    inst.frame, msl_lo[o + j], msl_hi[o + j]
-                )
-                g_inst.append(i)
-                g_msl.append(o + j)
-                g_lo.append(wlo)
-                g_hi.append(whi)
-        G = len(g_inst)
+        # Vectorized (instance x mesh-superleaf) expansion: a Python loop
+        # over G pairs dominates flatten time past ~100k instances. The
+        # 8-corner transform matches math3d.transform_aabb (base.rs:
+        # 1113-1134); bf16 outward rounding in build_top_table keeps the
+        # result conservative.
+        frames = (
+            np.stack([inst.frame for inst in scene.instances])
+            if ni
+            else np.zeros((0, 3, 4), np.float32)
+        ).astype(np.float32)
+        offs = np.array(
+            [msl_of_mesh[inst.mesh_idx][0] for inst in scene.instances],
+            np.int64,
+        )
+        cnts = np.array(
+            [msl_of_mesh[inst.mesh_idx][1] for inst in scene.instances],
+            np.int64,
+        )
+        g_inst = np.repeat(np.arange(ni, dtype=np.int64), cnts)
+        G = int(g_inst.shape[0])
+        start = np.cumsum(cnts) - cnts
+        g_msl = offs[g_inst] + (np.arange(G, dtype=np.int64) - start[g_inst])
+        A = frames[g_inst, :, :3]  # (G,3,3)
+        tvec = frames[g_inst, :, 3]  # (G,3)
+        corner_mask = np.array(
+            [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+            np.float32,
+        )  # (8,3)
+        lo_g = msl_lo[g_msl]
+        hi_g = msl_hi[g_msl]
+        corners = (
+            lo_g[:, None, :] * (1.0 - corner_mask)
+            + hi_g[:, None, :] * corner_mask
+        )  # (G,8,3)
+        tc = np.einsum("gij,gcj->gci", A, corners) + tvec[:, None, :]
+        g_lo = tc.min(axis=1).astype(np.float32)
+        g_hi = tc.max(axis=1).astype(np.float32)
         # Child refs are three 8-bit bf16 factors -> 16.7M addressable
         # (renderer.rs:317-319's 1M-instance envelope fits). The VMEM-
         # resident row table is the practical per-dispatch bound: ~260k
