@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--accums", type=int, default=2)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force a virtual 8-device CPU mesh")
+    ap.add_argument("--scene", default="cornell",
+                    choices=("cornell", "terrain"),
+                    help="cornell = dense megakernel path; terrain = "
+                         "multi-superleaf BVH traversal (io/synthetic.py)")
+    ap.add_argument("--tris", type=int, default=8192,
+                    help="terrain triangle budget")
     args = ap.parse_args()
 
     import os
@@ -57,8 +63,15 @@ def main():
     from ..parallel.sharding import make_tile_mesh, render_progressive_sharded
     from ..scene.flatten import build_scene_tpu
 
-    scene, cams = builtin.build_scene_cornell_box()
-    tpu = build_scene_tpu(scene)
+    if args.scene == "terrain":
+        from ..io.synthetic import build_scene_terrain
+
+        scene, cams = build_scene_terrain(n_tris=args.tris, seed=0)
+        tpu = build_scene_tpu(scene)
+        assert tpu.use_bvh and tpu.sl_count > 1, "terrain must take the BVH path"
+    else:
+        scene, cams = builtin.build_scene_cornell_box()
+        tpu = build_scene_tpu(scene)
     desc = PathtraceDesc()
     desc.camera_transform = cams[0].transform
     desc.camera_params = cams[0].params
