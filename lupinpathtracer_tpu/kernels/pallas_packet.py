@@ -208,9 +208,30 @@ def probe_scene(scene) -> bool:
 
         ro, rd = _probe_rays(scene)
         W4 = it.scene_tri_matrix(scene)
-        ref = jax.jit(lambda o, d: it.closest_hit_bvh(scene, o, d, 1e-4))(
-            ro, rd
-        )
+        if scene.two_level:
+            # Two-level scenes have NO jnp masked-stack walk (flatten
+            # builds placeholder bvh_* arrays) — closest_hit_bvh would
+            # compare against garbage and wrongly disable the packet
+            # path (or loop on the degenerate root). Reference is the
+            # sort wavefront instead: an independent lowering whose
+            # two-level parity the interpret-mode suite pins down.
+            import os
+
+            old = os.environ.get("LUPIN_NO_PACKET")
+            os.environ["LUPIN_NO_PACKET"] = "1"
+            try:
+                ref = jax.jit(
+                    lambda o, d: it.closest_hit_wavefront(scene, o, d, 1e-4)
+                )(ro, rd)
+            finally:
+                if old is None:
+                    os.environ.pop("LUPIN_NO_PACKET", None)
+                else:
+                    os.environ["LUPIN_NO_PACKET"] = old
+        else:
+            ref = jax.jit(
+                lambda o, d: it.closest_hit_bvh(scene, o, d, 1e-4)
+            )(ro, rd)
         ref_hit = np.asarray(ref.hit)
         ref_t = np.asarray(ref.dst)
         t, u, v, det, tri = jax.jit(
