@@ -326,24 +326,36 @@ def build_top_table(lo: np.ndarray, hi: np.ndarray):
         tab[:, c * CH_STRIDE + CH_LO.start : c * CH_STRIDE + CH_LO.stop] = 3e38
         tab[:, c * CH_STRIDE + CH_HI.start : c * CH_STRIDE + CH_HI.stop] = -3e38
         tab[:, c * CH_STRIDE + CH_ISLEAF] = -1.0
-    for i, kids in enumerate(rows_list):
-        for c, child in enumerate(kids):
-            base = c * CH_STRIDE
-            tab[i, base + CH_LO.start : base + CH_LO.stop] = _bf16_down(
-                top.aabb_min[child]
-            )
-            tab[i, base + CH_HI.start : base + CH_HI.stop] = _bf16_up(
-                top.aabb_max[child]
-            )
-            if top.tri_count[child] > 0:
-                ref = int(top.order[top.first_or_begin[child]])
-                tab[i, base + CH_ISLEAF] = 1.0
-            else:
-                ref = row_of[child]
-                tab[i, base + CH_ISLEAF] = 0.0
-            tab[i, base + CH_H2] = float(ref // 65536)
-            tab[i, base + CH_HI8] = float((ref // 256) % 256)
-            tab[i, base + CH_LO8] = float(ref % 256)
+    # Vectorized fill (a per-(row, child) Python loop with scalar bf16
+    # rounding dominated build time past ~100k leaves).
+    ri = np.concatenate(
+        [np.full(len(k), i, np.int64) for i, k in enumerate(rows_list)]
+    )
+    ci = np.concatenate(
+        [np.arange(len(k), dtype=np.int64) for k in rows_list]
+    )
+    ch = np.concatenate([np.asarray(k, np.int64) for k in rows_list])
+    lo_b = _bf16_down(top.aabb_min[ch])
+    hi_b = _bf16_up(top.aabb_max[ch])
+    is_leaf = top.tri_count[ch] > 0
+    row_of_arr = np.zeros(top.tri_count.shape[0], np.int64)
+    row_of_arr[np.fromiter(row_of.keys(), np.int64, len(row_of))] = (
+        np.fromiter(row_of.values(), np.int64, len(row_of))
+    )
+    # Leaf-ref read clamped: internal children's first_or_begin is a node
+    # id that may exceed the order table; the value is discarded by where.
+    fob = np.minimum(
+        top.first_or_begin[ch].astype(np.int64), top.order.shape[0] - 1
+    )
+    ref = np.where(is_leaf, top.order[fob].astype(np.int64), row_of_arr[ch])
+    base = ci * CH_STRIDE
+    for k in range(3):
+        tab[ri, base + CH_LO.start + k] = lo_b[:, k]
+        tab[ri, base + CH_HI.start + k] = hi_b[:, k]
+    tab[ri, base + CH_ISLEAF] = np.where(is_leaf, 1.0, 0.0)
+    tab[ri, base + CH_H2] = (ref // 65536).astype(np.float32)
+    tab[ri, base + CH_HI8] = ((ref // 256) % 256).astype(np.float32)
+    tab[ri, base + CH_LO8] = (ref % 256).astype(np.float32)
 
     rows_pad = max(128, -(-rows // 128) * 128)
     if rows_pad != rows:

@@ -292,14 +292,29 @@ def build_scene_tpu(
     inst_mesh = np.zeros(max(ni, 1), np.int32)
     inst_mat = np.zeros(max(ni, 1), np.int32)
     inst_det_sign = np.ones(max(ni, 1), np.float32)
-    for i, inst in enumerate(scene.instances):
-        inst_fwd[i] = inst.frame
-        inst_inv[i] = math3d.frame_inverse(inst.frame)
-        inst_nrm[i] = math3d.normal_matrix(inst.frame)
-        inst_mesh[i] = inst.mesh_idx
-        inst_mat[i] = inst.mat_idx
-        d = float(np.linalg.det(inst.frame[:, :3].astype(np.float64)))
-        inst_det_sign[i] = -1.0 if d < 0.0 else 1.0
+    if ni:
+        # Batched equivalents of math3d.frame_inverse / normal_matrix /
+        # det-sign: 3 np.linalg calls per instance dominated flatten past
+        # ~100k instances. Matches the scalar helpers: inverse in f64,
+        # cast f32, translation via the f32 inverse.
+        frames_all = np.stack(
+            [inst.frame for inst in scene.instances]
+        ).astype(np.float32)
+        inst_fwd[:ni] = frames_all
+        a64 = frames_all[:, :, :3].astype(np.float64)
+        rinv = np.linalg.inv(a64).astype(np.float32)
+        inst_inv[:ni, :, :3] = rinv
+        inst_inv[:ni, :, 3] = -np.einsum(
+            "iab,ib->ia", rinv, frames_all[:, :, 3]
+        )
+        inst_nrm[:ni] = np.transpose(
+            np.linalg.inv(a64), (0, 2, 1)
+        ).astype(np.float32)
+        inst_mesh[:ni] = [inst.mesh_idx for inst in scene.instances]
+        inst_mat[:ni] = [inst.mat_idx for inst in scene.instances]
+        inst_det_sign[:ni] = np.where(
+            np.linalg.det(a64) < 0.0, -1.0, 1.0
+        ).astype(np.float32)
 
     # ---- world-space triangle soup with baked per-tri shading attributes ----
     def _nrm(a):
