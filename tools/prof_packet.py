@@ -1,0 +1,168 @@
+"""Packet vs sort-backend traversal on arealights1 (TPU).
+
+Configs run in priority order; output is incremental so a dead tunnel
+still leaves partial data.
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+import numpy as np
+from lupinpathtracer_tpu.io import yocto_json
+from lupinpathtracer_tpu.render.renderer import _camera_args
+from lupinpathtracer_tpu.core.types import PathtraceDesc
+from lupinpathtracer_tpu.core import rng as rng_mod, vec3 as v3
+from lupinpathtracer_tpu.render.camera import compute_camera_ray
+from lupinpathtracer_tpu.scene.flatten import build_scene_tpu
+from lupinpathtracer_tpu.kernels import intersect as isx
+from lupinpathtracer_tpu.kernels import pallas_packet as pkt
+
+W, H = 512, 256
+scene, cams = yocto_json.load_scene_yoctogl_v24(
+    "/root/reference/test_scenes/arealights1/arealights1.json")
+desc = PathtraceDesc()
+desc.camera_transform = cams[1].transform
+desc.camera_params = cams[1].params
+cam = _camera_args(desc)
+
+
+def make_rays(order):
+    """order: (B,) pixel ids -> rays in that lane order."""
+    gx = (order % W).astype(jnp.int32)
+    gy = (order // W).astype(jnp.int32)
+    pix = order.astype(jnp.uint32)
+    state = rng_mod.init_state(pix, 0, 0, 0)
+    state, ox = rng_mod.next_f32(state)
+    state, oy = rng_mod.next_f32(state)
+    return compute_camera_ray(
+        cam["cam_transform"], cam["lens"], cam["film"], cam["aspect"],
+        cam["focus"], cam["aperture"], False, gx, gy,
+        (jnp.float32(W), jnp.float32(H)), ox - 0.5, oy - 0.5, state)
+
+
+def tile_order(ts):
+    """Tile-swizzled pixel order: lane l -> pixel inside ts x ts tiles."""
+    l = np.arange(W * H)
+    per = ts * ts
+    t = l // per
+    wtl = l % per
+    ntx = W // ts
+    gx = (t % ntx) * ts + (wtl % ts)
+    gy = (t // ntx) * ts + (wtl // ts)
+    return jnp.asarray(gy * W + gx, jnp.int32)
+
+
+row_order = jnp.arange(W * H, dtype=jnp.int32)
+
+
+def timeit(name, fn, *args, reps=5):
+    out = fn(*args)
+    leaves = jax.tree_util.tree_leaves(out)
+    float(jnp.sum(jnp.abs(leaves[0].astype(jnp.float32))))
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    leaves = jax.tree_util.tree_leaves(out)
+    s = float(jnp.sum(jnp.abs(leaves[0].astype(jnp.float32))))
+    dt = (time.time() - t0) / reps * 1000
+    print(f"{name:52s} {dt:9.2f} ms  (chk {s:.4g})", flush=True)
+    return dt, out
+
+
+def bounce_rays(tpu, ro, rd, state):
+    """Realistic secondary rays: diffuse bounce off the camera-ray hits."""
+    h = isx.closest_hit_wavefront(tpu, ro, rd, 1e-3)
+    at = isx.wavefront_fetch_attrs(tpu, h)
+    pos = v3.V3(ro.x + rd.x * h.dst, ro.y + rd.y * h.dst, ro.z + rd.z * h.dst)
+    n = v3.normalize(at.n)
+    state, r1 = rng_mod.next_f32(state)
+    state, r2 = rng_mod.next_f32(state)
+    z = jnp.sqrt(jnp.maximum(r1, 0.0))
+    rphi = 2 * np.pi * r2
+    sq = jnp.sqrt(jnp.maximum(1 - r1, 0.0))
+    lx = sq * jnp.cos(rphi)
+    ly = sq * jnp.sin(rphi)
+    up = v3.V3(jnp.zeros_like(n.x), jnp.ones_like(n.x), jnp.zeros_like(n.x))
+    tdir = v3.normalize(v3.cross(up, n))
+    bdir = v3.cross(n, tdir)
+    d = v3.V3(
+        tdir.x * lx + bdir.x * ly + n.x * z,
+        tdir.y * lx + bdir.y * ly + n.y * z,
+        tdir.z * lx + bdir.z * ly + n.z * z,
+    )
+    eps_o = v3.V3(pos.x + n.x * 1e-3, pos.y + n.y * 1e-3, pos.z + n.z * 1e-3)
+    return eps_o, d, h.hit
+
+
+def run_configs(tpu, tag):
+    need = tpu.msl_count * tpu.sl_stride
+    W4 = isx.build_tri_matrix(
+        tpu.wt_v0[:, :need], tpu.wt_e1[:, :need], tpu.wt_e2[:, :need])
+
+    state, ro, rd = jax.jit(lambda o: make_rays(o))(row_order)
+    _ = float(jnp.sum(ro.x))
+    state2, rot, rdt = jax.jit(lambda o: make_rays(o))(tile_order(16))
+    _ = float(jnp.sum(rot.x))
+
+    # Packet FIRST: it is the unknown (fresh Mosaic lowering); fail fast.
+    f_p0 = jax.jit(lambda ro, rd: pkt.packet_traverse(
+        tpu, ro, rd, 1e-3, W4, PBK=256))
+    try:
+        timeit(f"[{tag}] packet PBK=256 smoke (row-major)", f_p0, ro, rd,
+               reps=2)
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        print(f"    packet smoke FAILED: {type(e).__name__}: {e}", flush=True)
+
+    import os
+    os.environ["LUPIN_NO_PACKET"] = "1"
+    f_sort = jax.jit(lambda ro, rd: isx.closest_hit_wavefront(tpu, ro, rd, 1e-3))
+    t_sort, h_sort = timeit(f"[{tag}] sort backend, camera rays", f_sort, ro, rd)
+    del os.environ["LUPIN_NO_PACKET"]
+
+    for PBK in (256, 1024):
+        f_p = jax.jit(lambda ro, rd, PBK=PBK: pkt.packet_traverse(
+            tpu, ro, rd, 1e-3, W4, PBK=PBK))
+        try:
+            t_p, out = timeit(
+                f"[{tag}] packet PBK={PBK}, row-major camera", f_p, ro, rd)
+            tt = out[0]
+            agree = float(jnp.mean(
+                ((tt < 3e38) == h_sort.hit).astype(jnp.float32)))
+            print(f"    hit agreement vs sort: {agree:.6f}", flush=True)
+            t_pt, _ = timeit(
+                f"[{tag}] packet PBK={PBK}, 16x16-tiled camera", f_p, rot, rdt)
+        except Exception as e:
+            print(f"    packet PBK={PBK} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+
+    # Secondary (diffuse bounce) rays — the divergence stress test.
+    f_b = jax.jit(lambda ro, rd, st: bounce_rays(tpu, ro, rd, st))
+    eo, ed, hitm = f_b(rot, rdt, state2)
+    _ = float(jnp.sum(eo.x))
+    f_p2 = jax.jit(lambda ro, rd, act: pkt.packet_traverse(
+        tpu, ro, rd, 1e-3, W4, PBK=256, active=act))
+    try:
+        timeit(f"[{tag}] packet PBK=256, bounce rays (tiled px)", f_p2, eo, ed,
+               hitm)
+    except Exception as e:
+        print(f"    packet bounce FAILED: {type(e).__name__}: {e}", flush=True)
+    import os
+    os.environ["LUPIN_NO_PACKET"] = "1"
+    f_s2 = jax.jit(lambda ro, rd, act: isx.closest_hit_wavefront(
+        tpu, ro, rd, 1e-3, active=act))
+    timeit(f"[{tag}] sort backend, bounce rays", f_s2, eo, ed, hitm)
+    del os.environ["LUPIN_NO_PACKET"]
+
+
+print("=== stride default (1024) ===", flush=True)
+tpu = build_scene_tpu(scene)
+print(f"n_sl={tpu.sl_count} stride={tpu.sl_stride} depth={tpu.top_depth}",
+      flush=True)
+run_configs(tpu, "s1024")
+
+print("=== stride 256 ===", flush=True)
+tpu2 = build_scene_tpu(scene, sl_stride_opt=256)
+print(f"n_sl={tpu2.sl_count} stride={tpu2.sl_stride} depth={tpu2.top_depth}",
+      flush=True)
+run_configs(tpu2, "s256")
