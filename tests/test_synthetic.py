@@ -84,3 +84,35 @@ def test_instanced_field_two_level_at_scale():
     sc, _ = build_scene_instanced_field(n_instances=512, seed=0)
     st = build_scene_tpu(sc)
     assert st.two_level
+
+
+def test_packet_parity_at_terrain_stride():
+    """Packet kernel at the terrain2M bench config's exact specialization
+    (SP=4096, NSUB=8 — pick_stride chooses 4096 for ~2.9M padded tris;
+    every other parity test runs SP<=1024). Interpret mode pins the
+    semantics of the 512-wide sub-chunk slices and the (18, 4096) DMA
+    block shape before the hardware bench exercises them."""
+
+    import jax.numpy as jnp
+
+    from lupinpathtracer_tpu.kernels import intersect, pallas_packet
+
+    sc, _ = build_scene_terrain(n_tris=32768, seed=0)
+    st = build_scene_tpu(sc, sl_stride_opt=4096)
+    assert st.use_bvh and st.sl_stride == 4096 and st.sl_count >= 4
+    assert int(st.sl_sub.shape[1]) == 8  # NSUB at this stride
+
+    ro, rd = pallas_packet._probe_rays(st, n=256)
+    ref = intersect.closest_hit_bvh(st, ro, rd, 1e-4)
+    W4 = intersect.scene_tri_matrix(st)
+    t, u, v, det, tri = pallas_packet.packet_traverse(st, ro, rd, 1e-4, W4)
+
+    hit = np.asarray(t) < intersect.F32_MAX
+    np.testing.assert_array_equal(hit, np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    assert h.any()  # probe rays are aimed at the scene
+    np.testing.assert_allclose(
+        np.asarray(t)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+    )
+    same = (np.asarray(tri) == np.asarray(ref.tri))[h]
+    assert same.mean() > 0.95
