@@ -57,3 +57,28 @@ def test_traversal_backend_labels():
     assert bench._traversal_backend(tpu) in (
         "dense-mxu", "packet", "sort-wavefront"
     )
+
+
+def test_bench_bvh_scene_end_to_end_tiny():
+    """The shared config path of bench configs 2-5 (probe -> timed render ->
+    metric dict with a backend label) must run end-to-end. Configs 4/5 were
+    added this round and would otherwise first execute on the driver's
+    hardware run."""
+
+    from lupinpathtracer_tpu.io.synthetic import build_scene_terrain
+
+    rec = bench.bench_bvh_scene(
+        name="tiny-terrain",
+        metric="smoke_tiny_terrain",
+        cam_idx=0,
+        builder=lambda: build_scene_terrain(n_tris=2048, seed=0),
+        W=64,
+        H=32,
+        SPP=1,
+    )
+    assert rec["metric"] == "smoke_tiny_terrain"
+    assert rec["unit"] == "Mrays/s/chip"
+    assert rec["value"] > 0
+    assert rec["backend"] in (
+        "dense-mxu", "packet", "packet-stream", "sort-wavefront"
+    )
