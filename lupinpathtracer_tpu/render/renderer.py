@@ -257,29 +257,66 @@ def _runtime_checks(scene, baked: BakedPathtraceParams):
 _VALIDATED_SCENES: set = set()
 
 
-def _dispatch_packet_safe(scene, thunk):
+_DISPATCH_PROVEN: set = set()  # packet signatures with one successful render
+
+
+def _dispatch_packet_safe(scene, jitfn, image, *args, **kwargs):
     """Dispatch-time safety valve for the packet traversal (ADVICE r3 #2).
 
     The build-time probe (pallas_packet.probe_scene) compiles the kernel at
     the scene's shapes, but the render dispatch compiles a DIFFERENT grid
-    (full ray-batch block count): if that lowering or execution fails, mark
-    the scene's packet signature bad and re-trace once — the retry takes
-    the sort-wavefront backend instead of crashing the render."""
+    (full ray-batch block count), and a hardware fault can surface only at
+    execution. Three subtleties make the naive try/disable/retry wrong:
 
+    - jax.jit caches by avals/statics, none of which change when a packet
+      signature is disabled — a plain retry re-runs the SAME compiled
+      packet executable. The caches must be cleared so the retry re-traces
+      (and _use_packet re-consults the probe table).
+    - `image` is donated: a failed dispatch may already have consumed it.
+      Until a signature has one successful render behind it, the buffer is
+      snapshotted so a retry is possible at all. After that the snapshot is
+      skipped — steady-state dispatches pay nothing.
+    - Not every exception is the packet kernel's fault (the axon tunnel
+      flaps; shading can OOM). The signature is RE-PROBED (compile + 256-ray
+      correctness check vs an independent walk): a passing probe blames a
+      transient and retries the packet path once before disabling anyway."""
+
+    from ..kernels import intersect as _it
+    from ..kernels import pallas_packet
+
+    packet = scene.use_bvh and scene.sl_count > 0 and _it._use_packet(scene)
+    key = pallas_packet.scene_probe_key(scene) if packet else None
+    if not packet or key in _DISPATCH_PROVEN:
+        return jitfn(scene, image, *args, **kwargs)
+
+    def _clear():
+        getattr(jitfn, "clear_cache", lambda: None)()
+
+    snap = jnp.array(image, copy=True)  # survives donation of `image`
     try:
-        return thunk()
-    except Exception as e:  # noqa: BLE001 — one targeted retry, then raise
-        from ..kernels import intersect as _it
-        from ..kernels import pallas_packet
-
-        if not (
-            scene.use_bvh and scene.sl_count > 0 and _it._use_packet(scene)
-        ):
-            raise
+        out = jitfn(scene, image, *args, **kwargs)
+        _DISPATCH_PROVEN.add(key)
+        return out
+    except Exception as e:  # noqa: BLE001 — targeted retries, then raise
+        pallas_packet._PROBE_OK.pop(key, None)
+        try:
+            still_ok = pallas_packet.probe_scene(scene)
+        except Exception:  # noqa: BLE001 — a dead probe is a failed probe
+            still_ok = False
+        _clear()
+        if still_ok:
+            snap2 = jnp.array(snap, copy=True)
+            try:
+                out = jitfn(scene, snap, *args, **kwargs)
+                _DISPATCH_PROVEN.add(key)
+                return out
+            except Exception:  # noqa: BLE001 — fall through to disable
+                snap = snap2
         pallas_packet.disable(
             scene, f"dispatch failed: {type(e).__name__}: {e}"
         )
-        return thunk()
+        _clear()
+        return jitfn(scene, snap, *args, **kwargs)
 
 
 def pathtrace_scene(
@@ -292,8 +329,9 @@ def pathtrace_scene(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _dispatch_packet_safe(scene, lambda: _render_pathtrace(
+    return _dispatch_packet_safe(
         scene,
+        _render_pathtrace,
         image,
         _camera_args(desc),
         jnp.int32(tx),
@@ -308,7 +346,7 @@ def pathtrace_scene(
         ptype=int(desc.pathtrace_type),
         is_ortho=bool(desc.camera_params.is_orthographic),
         accumulate=bool(desc.accum_params.accumulate),
-    ))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -474,8 +512,9 @@ def pathtrace_scene_falsecolor(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _dispatch_packet_safe(scene, lambda: _render_falsecolor(
+    return _dispatch_packet_safe(
         scene,
+        _render_falsecolor,
         image,
         _camera_args(desc),
         jnp.int32(tx),
@@ -488,7 +527,7 @@ def pathtrace_scene_falsecolor(
         fc_type=int(falsecolor_type),
         is_ortho=bool(desc.camera_params.is_orthographic),
         accumulate=bool(desc.accum_params.accumulate),
-    ))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -629,8 +668,9 @@ def pathtrace_scene_debug(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _dispatch_packet_safe(scene, lambda: _render_debug(
+    return _dispatch_packet_safe(
         scene,
+        _render_debug,
         image,
         _camera_args(desc),
         jnp.int32(tx),
@@ -645,7 +685,7 @@ def pathtrace_scene_debug(
         max_bounces=int(baked.max_bounces),
         is_ortho=bool(desc.camera_params.is_orthographic),
         accumulate=bool(desc.accum_params.accumulate),
-    ))
+    )
 
 
 def new_accumulation_buffer(width: int, height: int):

@@ -302,14 +302,13 @@ def build_scene_tpu(
         ).astype(np.float32)
         inst_fwd[:ni] = frames_all
         a64 = frames_all[:, :, :3].astype(np.float64)
-        rinv = np.linalg.inv(a64).astype(np.float32)
+        inv64 = np.linalg.inv(a64)
+        rinv = inv64.astype(np.float32)
         inst_inv[:ni, :, :3] = rinv
         inst_inv[:ni, :, 3] = -np.einsum(
             "iab,ib->ia", rinv, frames_all[:, :, 3]
         )
-        inst_nrm[:ni] = np.transpose(
-            np.linalg.inv(a64), (0, 2, 1)
-        ).astype(np.float32)
+        inst_nrm[:ni] = np.transpose(inv64, (0, 2, 1)).astype(np.float32)
         inst_mesh[:ni] = [inst.mesh_idx for inst in scene.instances]
         inst_mat[:ni] = [inst.mat_idx for inst in scene.instances]
         inst_det_sign[:ni] = np.where(
@@ -588,11 +587,7 @@ def build_scene_tpu(
         # 8-corner transform matches math3d.transform_aabb (base.rs:
         # 1113-1134); bf16 outward rounding in build_top_table keeps the
         # result conservative.
-        frames = (
-            np.stack([inst.frame for inst in scene.instances])
-            if ni
-            else np.zeros((0, 3, 4), np.float32)
-        ).astype(np.float32)
+        frames = frames_all  # (ni, 3, 4) f32 — two_level implies ni > 0
         offs = np.array(
             [msl_of_mesh[inst.mesh_idx][0] for inst in scene.instances],
             np.int64,

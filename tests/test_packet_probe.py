@@ -74,27 +74,92 @@ def test_probe_rays_span_scene(rng):
 
 def test_dispatch_failure_falls_back_to_sort(rng, monkeypatch):
     """A packet dispatch failure must disable the signature and retry on
-    the sort backend — the render completes instead of raising."""
+    the sort backend — the render completes instead of raising. On this
+    CPU host the re-probe trusts interpret mode (returns True), so the
+    wrapper first retries the packet path once (transient-blame) before
+    disabling: 3 calls total."""
 
     tpu = _multi_sl_scene(rng)
     key = pallas_packet.scene_probe_key(tpu)
     monkeypatch.setitem(pallas_packet._PROBE_OK, key, True)
+    renderer._DISPATCH_PROVEN.discard(key)
 
     calls = {"n": 0}
 
-    def thunk():
+    def fake_jitfn(scene, image):
         calls["n"] += 1
         # Mimic the real failure mode: the packet kernel inside the traced
         # step fails iff the backend decision still selects it.
-        if intersect._use_packet(tpu):
+        if intersect._use_packet(scene):
             raise RuntimeError("Mosaic lowering failed (simulated)")
         return "rendered-on-sort"
 
-    out = renderer._dispatch_packet_safe(tpu, thunk)
+    out = renderer._dispatch_packet_safe(tpu, fake_jitfn, jnp.zeros(4))
     assert out == "rendered-on-sort"
-    assert calls["n"] == 2
+    assert calls["n"] == 3
     assert pallas_packet._PROBE_OK[key] is False
     # Cleanup so later tests see a clean probe table.
+    pallas_packet._PROBE_OK.pop(key, None)
+
+
+def test_dispatch_runtime_failure_clears_jit_cache(rng, monkeypatch):
+    """Regression: disable() flips a global the jit cache doesn't key on,
+    so without clear_cache() a retry re-runs the SAME compiled packet
+    executable and re-faults. The wrapper must clear the cache before
+    every re-trace attempt."""
+
+    tpu = _multi_sl_scene(rng)
+    key = pallas_packet.scene_probe_key(tpu)
+    monkeypatch.setitem(pallas_packet._PROBE_OK, key, True)
+    renderer._DISPATCH_PROVEN.discard(key)
+    # Force the disable path (a real TPU re-probe failing).
+    monkeypatch.setattr(pallas_packet, "probe_scene", lambda s: False)
+
+    class FakeJit:
+        cleared = 0
+        calls = 0
+
+        def __call__(self, scene, image):
+            self.calls += 1
+            if self.cleared == 0:  # stale cached executable still faults
+                raise RuntimeError("hardware fault (simulated)")
+            return "rendered-after-clear"
+
+        def clear_cache(self):
+            self.cleared += 1
+
+    fn = FakeJit()
+    out = renderer._dispatch_packet_safe(tpu, fn, jnp.zeros(4))
+    assert out == "rendered-after-clear"
+    assert fn.cleared >= 1 and fn.calls == 2
+    assert pallas_packet._PROBE_OK[key] is False
+    pallas_packet._PROBE_OK.pop(key, None)
+
+
+def test_dispatch_transient_failure_keeps_packet(rng, monkeypatch):
+    """A failure whose re-probe PASSES is blamed on a transient: the
+    packet path is retried and, when it succeeds, stays enabled."""
+
+    tpu = _multi_sl_scene(rng)
+    key = pallas_packet.scene_probe_key(tpu)
+    monkeypatch.setitem(pallas_packet._PROBE_OK, key, True)
+    renderer._DISPATCH_PROVEN.discard(key)
+    monkeypatch.setattr(pallas_packet, "probe_scene", lambda s: True)
+
+    calls = {"n": 0}
+
+    def flaky_jitfn(scene, image):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("tunnel flap (simulated)")
+        return "rendered-on-packet"
+
+    out = renderer._dispatch_packet_safe(tpu, flaky_jitfn, jnp.zeros(4))
+    assert out == "rendered-on-packet"
+    assert calls["n"] == 2
+    assert pallas_packet._PROBE_OK.get(key) is not False  # NOT poisoned
+    assert key in renderer._DISPATCH_PROVEN
+    renderer._DISPATCH_PROVEN.discard(key)
     pallas_packet._PROBE_OK.pop(key, None)
 
 
@@ -103,11 +168,11 @@ def test_dispatch_failure_on_sort_backend_raises(bvh_scene, monkeypatch):
 
     monkeypatch.setenv("LUPIN_NO_PACKET", "1")
 
-    def thunk():
+    def fake_jitfn(scene, image):
         raise RuntimeError("unrelated")
 
     with pytest.raises(RuntimeError, match="unrelated"):
-        renderer._dispatch_packet_safe(bvh_scene, thunk)
+        renderer._dispatch_packet_safe(bvh_scene, fake_jitfn, jnp.zeros(4))
 
 
 def test_render_still_works_with_probe_disabled(rng):
