@@ -82,3 +82,25 @@ def test_bench_bvh_scene_end_to_end_tiny():
     assert rec["backend"] in (
         "dense-mxu", "packet", "packet-stream", "sort-wavefront"
     )
+
+
+def test_bench_ab_backends_reports_both():
+    """ab_backends must time BOTH traversal backends, report both numbers,
+    and pick the winner (the measurement-driven safety valve for the
+    unproven-on-hardware packet default)."""
+
+    from lupinpathtracer_tpu.io.synthetic import build_scene_terrain
+
+    rec = bench.bench_bvh_scene(
+        name="tiny-terrain-ab",
+        metric="smoke_ab",
+        cam_idx=0,
+        builder=lambda: build_scene_terrain(n_tris=2048, seed=0),
+        W=64,
+        H=32,
+        SPP=1,
+        ab_backends=True,
+    )
+    assert "ab_packet" in rec and "ab_sort" in rec
+    assert rec["ab_winner"] == rec["backend"]
+    assert rec["value"] == max(rec["ab_packet"], rec["ab_sort"])
