@@ -94,6 +94,10 @@ def packet_eligible(scene) -> bool:
     if scene.top_root_is_leaf:
         return False
     max_gsl = int(os.environ.get("LUPIN_PACKET_MAX_GSL", "131072"))
+    # Padded-soup triangle ids are gref*stride+lane in i32 (and the sort
+    # backend's gtri encoding overflows identically), so a raised
+    # LUPIN_PACKET_MAX_GSL must never admit ids past 2^31.
+    max_gsl = min(max_gsl, (2**31 - 1) // max(int(scene.sl_stride), 1))
     if scene.sl_count > max_gsl:
         key = (int(scene.sl_count), int(scene.num_instances))
         if key not in _GATE_LOGGED:
@@ -110,13 +114,12 @@ def packet_eligible(scene) -> bool:
 
 
 def _use_packet(scene) -> bool:
-    import os
+    from . import pallas_packet
 
-    if os.environ.get("LUPIN_NO_PACKET"):
+    if pallas_packet.env_on("LUPIN_NO_PACKET"):
         return False
     if not packet_eligible(scene):
         return False
-    from . import pallas_packet
 
     # The probe runs eagerly in build_scene_tpu (host side — this function
     # is called during tracing, where a probe cannot execute). An unprobed

@@ -90,6 +90,15 @@ def _pack_top(tab: jnp.ndarray):
 _PROBE_OK: dict = {}  # {scene_probe_key(scene): bool} — see probe_scene()
 
 
+def env_on(name: str) -> bool:
+    """Boolean env knob: set and not "0"/"" (so VAR=0 means OFF — plain
+    truthiness made LUPIN_SKIP_PROBE=0 skip the correctness probe)."""
+
+    import os
+
+    return os.environ.get(name, "") not in ("", "0")
+
+
 def smem_tables_fit(scene) -> bool:
     """Whether the two-level gsl/transform tables fit SMEM-resident.
 
@@ -101,9 +110,7 @@ def smem_tables_fit(scene) -> bool:
     raising the envelope to LUPIN_PACKET_MAX_GSL global superleaves.
     LUPIN_PACKET_STREAM=1 forces streaming (test/tuning knob)."""
 
-    import os
-
-    if os.environ.get("LUPIN_PACKET_STREAM"):
+    if env_on("LUPIN_PACKET_STREAM"):
         return False
     return scene.sl_count <= 16384 and scene.num_instances <= 4096
 
@@ -198,7 +205,7 @@ def probe_scene(scene) -> bool:
     if jax.default_backend() != "tpu":
         _PROBE_OK[key] = True  # interpret — covered by the test suite
         return True
-    if os.environ.get("LUPIN_SKIP_PROBE"):
+    if env_on("LUPIN_SKIP_PROBE"):
         _PROBE_OK[key] = True
         return True
     try:
@@ -215,8 +222,6 @@ def probe_scene(scene) -> bool:
             # path (or loop on the degenerate root). Reference is the
             # sort wavefront instead: an independent lowering whose
             # two-level parity the interpret-mode suite pins down.
-            import os
-
             old = os.environ.get("LUPIN_NO_PACKET")
             os.environ["LUPIN_NO_PACKET"] = "1"
             try:
@@ -246,8 +251,13 @@ def probe_scene(scene) -> bool:
         # disagreement budget keeps one marginal ray out of 256 from
         # falsely disabling the backend for the whole scene; a miscompile
         # disagrees wholesale and still trips it.
+        # Explicit raises, not bare assert: under python -O the probe must
+        # NOT silently degrade into a vacuous compile check.
         n_dis = int((hit != ref_hit).sum())
-        assert n_dis <= 2, f"hit-mask mismatch vs stack walk on {n_dis} rays"
+        if n_dis > 2:
+            raise AssertionError(
+                f"hit-mask mismatch vs stack walk on {n_dis} rays"
+            )
         both = hit & ref_hit
         if both.any():
             np.testing.assert_allclose(
@@ -255,7 +265,8 @@ def probe_scene(scene) -> bool:
                 err_msg="hit-distance mismatch vs stack walk",
             )
             same = (np.asarray(tri) == np.asarray(ref.tri))[both]
-            assert same.mean() > 0.9, "winning-triangle mismatch"
+            if not same.mean() > 0.9:
+                raise AssertionError("winning-triangle mismatch")
         if not scene.two_level:
             t2, *rest = jax.jit(
                 lambda o, d: packet_traverse(
@@ -265,7 +276,8 @@ def probe_scene(scene) -> bool:
             np.testing.assert_array_equal(
                 np.asarray(t2), tn, err_msg="fused-attrs t differs"
             )
-            assert bool(jnp.isfinite(rest[-1]).all()), "non-finite attrs"
+            if not bool(jnp.isfinite(rest[-1]).all()):
+                raise AssertionError("non-finite attrs")
         _PROBE_OK[key] = True
     except Exception as e:  # noqa: BLE001 — any failure disables
         disable(scene, f"{type(e).__name__}: {e}")
@@ -548,6 +560,25 @@ def _packet_kernel(
         new_par = jnp.where(is_leaf == 1, 1 - par, par)
         return sp2, new_pend, new_par
 
+    def promote_leaf(p1g, p1m, parc):
+        """TL_STREAM promote: wait p1's 64-byte meta DMA, read its mesh-
+        superleaf id, start its coefficient DMA into buffer `parc`.
+        Shared by body_stream's steady state and the final drain — the
+        two MUST stay identical or the last leaf desynchronizes."""
+
+        if interpret:
+            w1 = meta_ref[p1m, 0].astype(jnp.int32)
+            wv_ref[parc] = W_ref[:, :, pl.ds(w1 * SP, SP)]
+        else:
+            pltpu.make_async_copy(
+                gmeta_ref.at[p1g - 1], meta_ref.at[p1m], msem_ref.at[p1m],
+            ).wait()
+            w1 = meta_ref[p1m, 0].astype(jnp.int32)
+            pltpu.make_async_copy(
+                W_ref.at[:, :, pl.ds(w1 * SP, SP)], wv_ref.at[parc],
+                sem_ref.at[parc],
+            ).start()
+
     def body_stream(c):
         """TL_STREAM: the leaf metadata (mesh superleaf + transform) lives
         in HBM, so the pipeline gains a stage. Per leaf pop L:
@@ -571,19 +602,7 @@ def _packet_kernel(
         def _leaf():
             @pl.when(p1g > 0)
             def _promote():
-                if interpret:
-                    w1 = meta_ref[p1m, 0].astype(jnp.int32)
-                    wv_ref[parc] = W_ref[:, :, pl.ds(w1 * SP, SP)]
-                else:
-                    pltpu.make_async_copy(
-                        gmeta_ref.at[p1g - 1], meta_ref.at[p1m],
-                        msem_ref.at[p1m],
-                    ).wait()
-                    w1 = meta_ref[p1m, 0].astype(jnp.int32)
-                    pltpu.make_async_copy(
-                        W_ref.at[:, :, pl.ds(w1 * SP, SP)], wv_ref.at[parc],
-                        sem_ref.at[parc],
-                    ).start()
+                promote_leaf(p1g, p1m, parc)
 
             @pl.when(p2g > 0)
             def _retire():
@@ -623,19 +642,7 @@ def _packet_kernel(
 
         @pl.when(p1g > 0)
         def _drain_p1():
-            if interpret:
-                w1 = meta_ref[p1m, 0].astype(jnp.int32)
-                wv_ref[parc] = W_ref[:, :, pl.ds(w1 * SP, SP)]
-            else:
-                pltpu.make_async_copy(
-                    gmeta_ref.at[p1g - 1], meta_ref.at[p1m],
-                    msem_ref.at[p1m],
-                ).wait()
-                w1 = meta_ref[p1m, 0].astype(jnp.int32)
-                pltpu.make_async_copy(
-                    W_ref.at[:, :, pl.ds(w1 * SP, SP)], wv_ref.at[parc],
-                    sem_ref.at[parc],
-                ).start()
+            promote_leaf(p1g, p1m, parc)
             leaf_compute_stream(p1g - 1, parc, p1m)
     else:
         fc = jax.lax.while_loop(
