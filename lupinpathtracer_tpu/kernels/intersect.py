@@ -461,7 +461,6 @@ def closest_hit_wavefront(
 
     B = ro.x.shape[0]
     SP = scene.sl_stride
-    n_sl = scene.sl_count
     # Superleaf tables exist for every scene (both backends are built); a
     # dense-trimmed W from the caller is rebuilt at the repacked-soup width
     # the kernels' (4, 10, SP) slicing requires. XLA CSEs / hoists this out
@@ -501,10 +500,16 @@ def closest_hit_wavefront(
         pro = V3(padp(rop.x), padp(rop.y), padp(rop.z))
         prd = V3(padp(rdp.x), padp(rdp.y, 1.0), padp(rdp.z))
         blk = jnp.arange(n_blk, dtype=jnp.int32)
+        sl0 = jnp.zeros(n_blk, jnp.int32)
+        # Two-level scenes keep the soup in MESH space: the instance
+        # transform must ride along even in the one-superleaf shortcut
+        # (same tables the multi-superleaf path passes at line ~833).
+        msl_k, inst_k, txf_tab, _, _ = _item_instancing(scene, sl0)
         t, u, v, det, li = pb.pair_intersect(
-            blk, jnp.zeros(n_blk, jnp.int32),
+            blk, sl0,
             blk * PB, blk * PB + PB,
             pro, prd, W, eps, SP=SP, pair_block=PB,
+            msl=msl_k, inst=inst_k, txf_tab=txf_tab,
         )
         t, u, v, det, li = (a[:B] for a in (t, u, v, det, li))
         h = HitInfo(
@@ -557,8 +562,7 @@ def closest_hit_wavefront(
             init,
         )
     else:
-        c = init
-        C = Bp
+        c = init  # Bp <= C: stage 1 is skipped, the tail covers everything
 
     arange_b = jnp.arange(Bp, dtype=jnp.int32)
     arange_c = jnp.arange(C, dtype=jnp.int32)
@@ -650,8 +654,11 @@ def _wf_work_items(skey, n_sl, PB, cnt_sl=None):
     total_items = ioff[n_sl]
     W_CAP = n_pb + min(n_sl, P)
     karr = jnp.arange(W_CAP, dtype=jnp.int32)
+    # method="sort" (one merged sort): compare_all is O(n_sl * W_CAP) —
+    # ~1.7e10 compares at 131k superleaves, on exactly the many-superleaf
+    # scenes this path serves (same reasoning as seg_start above).
     s_k = jnp.searchsorted(
-        ioff[1:], karr, side="right", method="compare_all"
+        ioff[1:], karr, side="right", method="sort"
     ).astype(jnp.int32)
     s_k = jnp.minimum(s_k, n_sl - 1)
     valid_k = karr < total_items
@@ -1028,6 +1035,15 @@ def closest_hit_attrs(
     t, u, v, det, idx, attr = dense_closest_hit_attrs_pallas(
         W, scene.wt_attr, ro, rd, eps, alive_count=alive_count
     )
+    if active is not None:
+        # Uniform semantics across backends: inactive lanes report miss
+        # (and zeroed attrs, matching wavefront_fetch_attrs' cut()).
+        t = jnp.where(active, t, F32_MAX)
+        u = jnp.where(active, u, 0.0)
+        v = jnp.where(active, v, 0.0)
+        det = jnp.where(active, det, 0.0)
+        idx = jnp.where(active, idx, 0)
+        attr = jnp.where(active[None, :], attr, 0.0)
     backside = det > 0.0
     flip = attr[ATTR_DET_SIGN] < 0.0
     h = HitInfo(

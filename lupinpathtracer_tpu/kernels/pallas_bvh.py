@@ -478,12 +478,6 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
         # Blend only the lanes whose sorted position belongs to this work
         # item's superleaf segment; other lanes keep the value written by
         # the block's other visits (first-visit garbage on lanes no item
-        # covers is masked by the caller's n_real cut). The position vector
-        # is an input (Mosaic rejects freestanding 2-D->1-D iota casts; a
-        # load+reshape is supported).
-        # Blend only the lanes whose sorted position belongs to this work
-        # item's superleaf segment; other lanes keep the value written by
-        # the block's other visits (first-visit garbage on lanes no item
         # covers is masked by the caller's n_real cut). Mosaic only folds
         # 1-D<->2-D casts into memory ops, so each 1-D accumulator takes a
         # store-adjacent reshape through VMEM scratch and comes back 2-D
@@ -529,9 +523,12 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
     assert P % PB == 0
     n_pb = P // PB
     # Keep the (4*TB, PB) f32 intermediates at <=2 MB regardless of PB so
-    # VMEM pressure is PB-invariant.
-    TB = min(SP, max(128, (1 << 17) // PB))
-    assert SP % TB == 0
+    # VMEM pressure is PB-invariant. TB must DIVIDE SP: for 128-aligned
+    # non-power-of-two strides (e.g. sl_stride_opt=640) fall back to the
+    # largest 128-multiple divisor under the cap instead of asserting.
+    cap = min(SP, max(128, (1 << 17) // PB))
+    TB = max(d for d in range(128, cap + 1, 128) if SP % d == 0)
+    assert SP % TB == 0 and TB % 128 == 0
     sub = PB // 128
     if msl is None:
         msl = sl  # single-level: global superleaf IS the mesh superleaf

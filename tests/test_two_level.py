@@ -388,3 +388,70 @@ def test_packet_stream_100k_instances():
     gsl = np.asarray(tri) // tpu.sl_stride
     inst = np.asarray(tpu.gsl_inst)[gsl]
     np.testing.assert_array_equal(inst, ids)
+
+
+def test_two_level_single_superleaf_instance_transform(rng):
+    """A two-level scene whose ONE instance fits in ONE superleaf takes
+    the top_root_is_leaf shortcut in closest_hit_wavefront — which must
+    still apply the instance transform (the soup is mesh-space).
+    Regression: the shortcut used to intersect world rays against the
+    untransformed mesh, rendering the instance at the origin."""
+
+    n = 10
+    g = np.linspace(-1, 1, n, dtype=np.float32)
+    xx, zz = np.meshgrid(g, g)
+    pts = np.stack([xx, 0.3 * np.sin(3 * xx) * np.cos(3 * zz), zz], -1)
+    pts = pts.reshape(-1, 3)
+    idx = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            idx += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    mesh = MeshCPU(
+        positions=pts, indices=np.asarray(idx, np.int32),
+        normals=None, texcoords=None, colors=None,
+    )
+    # 162 tris <= one 256-stride superleaf; instance far from the origin.
+    frame = np.concatenate(
+        [_rot_y(0.7), np.array([[5.0], [2.0], [-3.0]], np.float32)], axis=1
+    )
+    mat = Material()
+    mat.color = np.array([0.7, 0.7, 0.7, 1.0], np.float32)
+    scene = SceneCPU(
+        meshes=[mesh], materials=[mat],
+        instances=[InstanceCPU(frame=frame, mesh_idx=0, mat_idx=0)],
+        environments=[], textures=[],
+    )
+    flat = build_scene_tpu(scene, dense_max_tris=16, two_level=False)
+    two = build_scene_tpu(scene, dense_max_tris=16, two_level=True)
+    assert two.two_level and two.top_root_is_leaf and two.sl_count == 1
+
+    # Rays from above the (rotated, translated) plate, aimed at jittered
+    # interior points — solid incidence angles, no grazing degeneracy.
+    B = 256
+    R = frame[:, :3]
+    tr = frame[:, 3]
+    loc = np.stack(
+        [rng.uniform(-0.7, 0.7, B), np.zeros(B), rng.uniform(-0.7, 0.7, B)]
+    ).astype(np.float32)
+    tgt = R @ loc + tr[:, None]
+    up = R @ np.array([0.0, 1.0, 0.0], np.float32)
+    o = tgt + up[:, None] * 6.0 + rng.normal(
+        scale=0.5, size=(3, B)
+    ).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    ro = v3.V3(*(jnp.asarray(c.astype(np.float32)) for c in o))
+    rd = v3.V3(*(jnp.asarray(c.astype(np.float32)) for c in d))
+
+    # Like-for-like: BOTH scenes take closest_hit_wavefront's single-
+    # superleaf shortcut (same pair-kernel formulation); the only delta
+    # is the instance transform under test.
+    h1 = intersect.closest_hit_wavefront(flat, ro, rd, jnp.float32(1e-4))
+    h2 = intersect.closest_hit_wavefront(two, ro, rd, jnp.float32(1e-4))
+    m = np.asarray(h1.hit)
+    assert m.mean() > 0.9  # rays are aimed at the instance interior
+    np.testing.assert_array_equal(np.asarray(h2.hit), m)
+    np.testing.assert_allclose(
+        np.asarray(h2.dst)[m], np.asarray(h1.dst)[m], rtol=5e-4, atol=1e-4
+    )

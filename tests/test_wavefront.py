@@ -320,3 +320,25 @@ def test_wavefront_attr_fetch_matches_gathers(rng):
     # Miss lanes zeroed.
     assert (np.asarray(ia.n.x)[~hit] == 0.0).all()
     assert (np.asarray(ia.mat_id)[~hit] == 0).all()
+
+
+def test_wavefront_non_power_of_two_stride(rng, monkeypatch):
+    """128-aligned non-power-of-two strides are legal at build time
+    (superleaf.py only checks stride % 128); the pair kernel must derive
+    its tri-block size as a DIVISOR of the stride instead of asserting.
+    Regression: sl_stride_opt=640 built fine, then every render crashed
+    at trace time (SP % TB with TB=512)."""
+
+    monkeypatch.setenv("LUPIN_NO_PACKET", "1")  # pin the pair-kernel path
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64, sl_stride_opt=640)
+    assert tpu.use_bvh and tpu.sl_stride == 640 and tpu.sl_count >= 2
+
+    ro, rd = _random_rays(rng, 512)
+    ref = intersect.closest_hit_bvh(tpu, ro, rd, 1e-4)
+    got = intersect.closest_hit_wavefront(tpu, ro, rd, 1e-4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
+    )
