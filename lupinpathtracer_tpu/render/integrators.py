@@ -20,6 +20,22 @@ matched exactly, including:
   (pathtracer.wgsl:724-729);
 - stochastic alpha skip with accumulated distance
   (bvh_custom.wgsl:154-180), statically compiled out for opaque scenes.
+
+Two DELIBERATE deviations from the reference's MIS edge cases (both are
+reference quirks whose exact replication would cost lane state for paths
+real scenes never take):
+
+- the reference assigns `next_intersection` only inside the strategy gate
+  `all(bsdfcos != 0) && mis_weight != 0` (pathtracer.wgsl:831-835), so a
+  material with an exactly-zero bsdfcos COMPONENT (e.g. albedo (1,0,0))
+  re-uses a stale/empty hit next bounce; this port always continues from
+  the freshly traced BSDF-sample hit. Identical whenever all bsdfcos
+  components are nonzero — every corpus material.
+- a zero light/bsdf pdf makes the reference's mis_weight NaN, which then
+  NaNs the radiance and clamp_radiance zeroes the WHOLE sample
+  (pathtracer.wgsl:1774-1783); this port guards the division (1e-30) and
+  drops only that strategy term, keeping the rest of the sample. Strictly
+  lower variance, identical in expectation on the gated (nonzero) domain.
 """
 
 from __future__ import annotations
@@ -53,7 +69,7 @@ def make_ctx(scene, eps):
         W = None
     else:
         W = intersect.scene_tri_matrix(scene)
-    small_lights = scene.lt_v0.shape[1] <= 32
+    small_lights = scene.lt_v0.shape[1] <= lights.SMALL_LIGHT_TRIS
     Wl = (
         None
         if (scene.lights_empty or small_lights)
@@ -666,21 +682,20 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
             # Reference gate: all(bsdfcos != 0) && mis_weight != 0
             # (pathtracer.wgsl:790).
             go = active & v3.all_nonzero(f) & (mw != 0.0)
-            return f, mw, go
+            return f, mw, go, bp
 
         # weight BEFORE the indirect factor feeds the strategy contributions.
         weight_pre = weight
-        f_b, mw_b, go_b = strategy_terms(bdir, False, nd & b_ok)
+        f_b, mw_b, go_b, bp_b = strategy_terms(bdir, False, nd & b_ok)
         # Reference break semantics: a zero BSDF sample skips the light
         # strategy too (pathtracer.wgsl:775).
-        f_l, mw_l, go_l = strategy_terms(ldir, True, nd & b_ok & l_ok)
+        f_l, mw_l, go_l, _ = strategy_terms(ldir, True, nd & b_ok & l_ok)
 
-        # Indirect continuation along the BSDF sample (pathtracer.wgsl:855-858).
+        # Indirect continuation along the BSDF sample (pathtracer.wgsl:
+        # 855-858) reuses the strategy's eval/pdf — recomputing them here
+        # relied on XLA CSE and invited the two copies drifting apart.
         alive = alive & ~(nd & ~b_ok)
-        bp_ind = bsdf.sample_bsdfcos_pdf(mp, normal, outgoing, bdir, types)
-        f_ind = bsdf.eval_bsdfcos(mp, normal, outgoing, bdir, types) / jnp.maximum(
-            bp_ind, 0.0
-        )
+        f_ind = f_b / jnp.maximum(bp_b, 0.0)
         nd_ok = nd & b_ok
         weight = v3.where(nd_ok, weight * f_ind, weight)
         next_emission = jnp.where(nd, False, next_emission)

@@ -26,6 +26,13 @@ from ..core.vec3 import V3
 from ..kernels import intersect
 from ..kernels.texture import sample_texture
 
+# Light-triangle count at or below which the geometric light pdf uses
+# unrolled per-tri lane math instead of the dense matrix. integrators'
+# make_ctx builds (or skips) the light-tri matrix by the SAME constant —
+# the two decisions must agree or the matrix is built-and-dropped /
+# rebuilt per call.
+SMALL_LIGHT_TRIS = 32
+
 
 def _alias_pick(offset, size, thresh_arr, alias_arr, r_bin, r_thresh):
     """Batched alias-table sample: bin index within [0, size) then threshold
@@ -137,6 +144,18 @@ def sample_lights(scene, pos: V3, outgoing: V3, state):
 
     for e in range(num_envs):
         sel = pick == num_lights + e
+        # Textureless env (STATIC gate): uniform sphere
+        # (pathtracer.wgsl:2500-2503). Its alias segment has ONE entry —
+        # picking into it with another texture's dimensions read out of
+        # segment (correct only via XLA's OOB clamping) and burned a full
+        # alias pick per lane for a value the select always discarded.
+        if not scene.env_has_tex[e]:
+            z = 2.0 * rb - 1.0
+            r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+            phi = 2.0 * PI * ra
+            sphere_dir = V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+            out = v3.where(sel, sphere_dir, out)
+            continue
         w = scene.tex_width[jnp.maximum(scene.env_tex[e], 0)]
         h = scene.tex_height[jnp.maximum(scene.env_tex[e], 0)]
         off = scene.env_alias_offset[e]
@@ -152,15 +171,7 @@ def sample_lights(scene, pos: V3, outgoing: V3, state):
         cu = ((pix % w).astype(jnp.float32) + 0.5) / w.astype(jnp.float32)
         cv = ((pix // w).astype(jnp.float32) + 0.5) / h.astype(jnp.float32)
         tex_dir = env_uv_to_dir(scene, e, cu, cv)
-        # Textureless env: uniform sphere (pathtracer.wgsl:2500-2503).
-        z = 2.0 * rb - 1.0
-        r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
-        phi = 2.0 * PI * ra
-        sphere_dir = V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
-        env_dir = v3.where(
-            jnp.broadcast_to(scene.env_tex[e] >= 0, sel.shape), tex_dir, sphere_dir
-        )
-        out = v3.where(sel, env_dir, out)
+        out = v3.where(sel, tex_dir, out)
 
     return state, out
 
@@ -178,7 +189,7 @@ def compute_instance_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
         return jnp.zeros(B, jnp.float32)
 
     Tl = scene.lt_v0.shape[1]
-    if Tl <= 32:
+    if Tl <= SMALL_LIGHT_TRIS:
         # Few light triangles (the common case): unrolled per-tri lane math
         # avoids (B, Tl) minor-dim-padded intermediates entirely.
         pdf = jnp.zeros(B, jnp.float32)
@@ -263,6 +274,11 @@ def sample_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
     pdf = compute_instance_lights_pdf(scene, pos, incoming, eps, Wl)
 
     for e in range(num_envs):
+        # Textureless env (STATIC gate): uniform-sphere pdf — the dynamic
+        # select previously read ea_prob out of the env's 1-entry segment.
+        if not scene.env_has_tex[e]:
+            pdf = pdf + 1.0 / (4.0 * PI)
+            continue
         ti = scene.env_tex[e]
         w = scene.tex_width[jnp.maximum(ti, 0)]
         h = scene.tex_height[jnp.maximum(ti, 0)]
@@ -277,8 +293,6 @@ def sample_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
             * (PI / hf)
             * jnp.sin(PI * (py.astype(jnp.float32) + 0.5) / hf)
         )
-        env_pdf = prob / jnp.maximum(solid_angle, 1e-20)
-        sphere_pdf = jnp.full_like(env_pdf, 1.0 / (4.0 * PI))
-        pdf = pdf + jnp.where(ti >= 0, env_pdf, sphere_pdf)
+        pdf = pdf + prob / jnp.maximum(solid_angle, 1e-20)
 
     return pdf / float(total)

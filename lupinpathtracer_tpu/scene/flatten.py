@@ -204,6 +204,12 @@ class SceneTPU:
     light_tri_offset: jnp.ndarray  # (L,) i32 into lt_* arrays
     light_tri_count: jnp.ndarray  # (L,) i32
 
+    # Per-env "has a texture" as a STATIC tuple: render/lights.py gates
+    # whole alias-table sampling blocks on it (a textureless env's alias
+    # segment has one entry — picking into it with another texture's
+    # dimensions reads out of segment and wastes a full pick per lane).
+    env_has_tex: tuple = struct.field(pytree_node=False, default=())
+
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     if a.shape[0] >= n:
@@ -995,6 +1001,7 @@ def build_scene_tpu(
         tex_height=dev(tex_h),
         env_emission=dev(env_emission),
         env_tex=dev(env_tex),
+        env_has_tex=tuple(bool(t >= 0) for t in env_tex),
         env_rot=dev(env_rot),
         light_inst=dev(
             np.asarray(light_inst_l, np.int32) if nl else np.zeros(1, np.int32)

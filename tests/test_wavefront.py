@@ -342,3 +342,58 @@ def test_wavefront_non_power_of_two_stride(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got.dst)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
     )
+
+
+def test_textureless_environment_sampling():
+    """A textureless (constant-emission) environment: sample_lights must
+    return uniform-sphere directions and sample_lights_pdf the 1/(4pi)
+    term — via the STATIC env_has_tex gate, which also keeps alias picks
+    from reading outside the env's one-entry table segment."""
+
+    import jax.numpy as jnp
+
+    from lupinpathtracer_tpu.core import rng as rng_mod
+    from lupinpathtracer_tpu.core import vec3 as v3
+    from lupinpathtracer_tpu.core.types import Environment, Material
+    from lupinpathtracer_tpu.render import lights
+    from lupinpathtracer_tpu.scene.scene import (
+        InstanceCPU, MeshCPU, SceneCPU,
+    )
+
+    quad = np.array(
+        [[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32
+    )
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = MeshCPU(
+        positions=quad, indices=idx,
+        normals=None, texcoords=None, colors=None,
+    )
+    env = Environment()
+    env.emission = np.array([0.5, 0.5, 0.5], np.float32)
+    scene = SceneCPU(
+        meshes=[mesh], materials=[Material()],
+        instances=[InstanceCPU(
+            frame=np.eye(3, 4, dtype=np.float32), mesh_idx=0, mat_idx=0,
+        )],
+        environments=[env], textures=[],
+    )
+    tpu = build_scene_tpu(scene)
+    assert tpu.num_envs == 1 and tpu.env_has_tex == (False,)
+
+    B = 512
+    pos = v3.V3(*(jnp.zeros(B) for _ in range(3)))
+    out = v3.V3(jnp.zeros(B), jnp.ones(B), jnp.zeros(B))
+    state = rng_mod.init_state(jnp.arange(B, dtype=jnp.uint32), 0, 0, 0)
+    _, d = lights.sample_lights(tpu, pos, out, state)
+    n = np.sqrt(
+        np.asarray(d.x) ** 2 + np.asarray(d.y) ** 2 + np.asarray(d.z) ** 2
+    )
+    assert np.isfinite(n).all() and (np.abs(n - 1.0) < 1e-4).all()
+    # Uniform sphere: both hemispheres populated.
+    assert (np.asarray(d.y) > 0).any() and (np.asarray(d.y) < 0).any()
+
+    pdf = lights.sample_lights_pdf(tpu, pos, d, jnp.float32(1e-4))
+    p = np.asarray(pdf)
+    assert np.isfinite(p).all() and (p > 0).all()
+    # No mesh lights: pdf is exactly uniform-sphere over 1 picker choice.
+    np.testing.assert_allclose(p, 1.0 / (4.0 * np.pi), rtol=1e-6)
