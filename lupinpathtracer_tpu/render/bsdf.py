@@ -119,7 +119,7 @@ def fresnel_conductor(eta: V3, normal: V3, outgoing: V3) -> V3:
     def chan(e):
         e2 = e * e
         t0 = e2 - sin2
-        a2b2 = jnp.sqrt(jnp.maximum(t0 * t0, 0.0))
+        a2b2 = jnp.abs(t0)  # = sqrt(t0^2): the etak==0 specialization
         t1 = a2b2 + cos2
         a = jnp.sqrt(jnp.maximum((a2b2 + t0) / 2.0, 0.0))
         t2 = 2.0 * a * cosw
@@ -544,98 +544,133 @@ def sample_bsdfcos_pdf(mp, normal, outgoing, incoming, types=None):
 # ---------------------------------------------------------------------------
 
 
+_DELTA_TYPES = (
+    int(MaterialType.REFLECTIVE),
+    int(MaterialType.TRANSPARENT),
+    int(MaterialType.REFRACTIVE),
+    int(MaterialType.VOLUMETRIC),
+)
+
+
+def _delta_types(types):
+    """Static restriction of the delta lobe set to the scene's materials —
+    same specialization contract as _dispatch_v3 for the smooth lobes.
+    (The reference's delta switch has NO subsurface case,
+    pathtracer.wgsl:2231-2244 — a delta subsurface returns zero.)"""
+
+    if types is None:
+        return _DELTA_TYPES
+    return tuple(t for t in _DELTA_TYPES if t in types)
+
+
 def sample_delta(mp, normal, outgoing, rnl, types=None) -> V3:
     t = mp.mat_type
-    up = flip_up(normal, outgoing)
-    refl = reflect(outgoing, up)
-
-    f_tr = fresnel_dielectric(mp.ior, up, outgoing)
-    trans = v3.where(rnl < f_tr, refl, -outgoing)
-
-    entering = v3.dot(normal, outgoing) >= 0.0
-    up_r = v3.where(entering, normal, -normal)
-    rel_ior = jnp.where(entering, mp.ior, 1.0 / mp.ior)
-    f_re = fresnel_dielectric(rel_ior, up_r, outgoing)
-    refr = v3.where(
-        rnl < f_re,
-        reflect(outgoing, up_r),
-        refract(outgoing, up_r, 1.0 / rel_ior),
-    )
-    refr = v3.where(jnp.abs(mp.ior - 1.0) < 1e-3, -outgoing, refr)
-
+    ts = _delta_types(types)
     out = v3.zeros(rnl.shape)
-    out = v3.where(t == MaterialType.REFLECTIVE, refl, out)
-    out = v3.where(t == MaterialType.TRANSPARENT, trans, out)
-    out = v3.where(t == MaterialType.REFRACTIVE, refr, out)
-    out = v3.where(t == MaterialType.VOLUMETRIC, -outgoing, out)
+
+    if int(MaterialType.REFLECTIVE) in ts or int(MaterialType.TRANSPARENT) in ts:
+        up = flip_up(normal, outgoing)
+        refl = reflect(outgoing, up)
+        if int(MaterialType.REFLECTIVE) in ts:
+            out = v3.where(t == MaterialType.REFLECTIVE, refl, out)
+        if int(MaterialType.TRANSPARENT) in ts:
+            f_tr = fresnel_dielectric(mp.ior, up, outgoing)
+            trans = v3.where(rnl < f_tr, refl, -outgoing)
+            out = v3.where(t == MaterialType.TRANSPARENT, trans, out)
+
+    if int(MaterialType.REFRACTIVE) in ts:
+        entering = v3.dot(normal, outgoing) >= 0.0
+        up_r = v3.where(entering, normal, -normal)
+        rel_ior = jnp.where(entering, mp.ior, 1.0 / mp.ior)
+        f_re = fresnel_dielectric(rel_ior, up_r, outgoing)
+        refr = v3.where(
+            rnl < f_re,
+            reflect(outgoing, up_r),
+            refract(outgoing, up_r, 1.0 / rel_ior),
+        )
+        refr = v3.where(jnp.abs(mp.ior - 1.0) < 1e-3, -outgoing, refr)
+        out = v3.where(t == MaterialType.REFRACTIVE, refr, out)
+
+    if int(MaterialType.VOLUMETRIC) in ts:
+        out = v3.where(t == MaterialType.VOLUMETRIC, -outgoing, out)
     return v3.where(mp.roughness != 0.0, v3.zeros(rnl.shape), out)
 
 
 def eval_delta(mp, normal, outgoing, incoming, types=None) -> V3:
     t = mp.mat_type
-    up = flip_up(normal, outgoing)
+    ts = _delta_types(types)
     prod = v3.dot(normal, incoming) * v3.dot(normal, outgoing)
     same_side = prod >= 0.0
     opp = prod <= 0.0
-
-    refl = fresnel_conductor(reflectivity_to_eta(mp.color), up, outgoing)
-    refl = v3.where(opp, v3.zeros(prod.shape), refl)
-
-    f_tr = fresnel_dielectric(mp.ior, up, outgoing)
-    trans = v3.where(
-        same_side, V3(f_tr, f_tr, f_tr), mp.color * (1.0 - f_tr)
-    )
-
-    entering = v3.dot(normal, outgoing) >= 0.0
-    up_r = v3.where(entering, normal, -normal)
-    rel_ior = jnp.where(entering, mp.ior, 1.0 / mp.ior)
-    f_re = fresnel_dielectric(rel_ior, up_r, outgoing)
-    refr_s = jnp.where(
-        same_side, f_re, (1.0 / (rel_ior * rel_ior)) * (1.0 - f_re)
-    )
-    refr_s = jnp.where(
-        jnp.abs(mp.ior - 1.0) < 1e-3, jnp.where(opp, 1.0, 0.0), refr_s
-    )
-    refr = V3(refr_s, refr_s, refr_s)
-
-    pass_s = jnp.where(same_side, 0.0, 1.0)
-    passthrough = V3(pass_s, pass_s, pass_s)
-
     out = v3.zeros(prod.shape)
-    out = v3.where(t == MaterialType.REFLECTIVE, refl, out)
-    out = v3.where(t == MaterialType.TRANSPARENT, trans, out)
-    out = v3.where(t == MaterialType.REFRACTIVE, refr, out)
-    out = v3.where(t == MaterialType.VOLUMETRIC, passthrough, out)
+
+    if int(MaterialType.REFLECTIVE) in ts or int(MaterialType.TRANSPARENT) in ts:
+        up = flip_up(normal, outgoing)
+        if int(MaterialType.REFLECTIVE) in ts:
+            refl = fresnel_conductor(reflectivity_to_eta(mp.color), up, outgoing)
+            refl = v3.where(opp, v3.zeros(prod.shape), refl)
+            out = v3.where(t == MaterialType.REFLECTIVE, refl, out)
+        if int(MaterialType.TRANSPARENT) in ts:
+            f_tr = fresnel_dielectric(mp.ior, up, outgoing)
+            trans = v3.where(
+                same_side, V3(f_tr, f_tr, f_tr), mp.color * (1.0 - f_tr)
+            )
+            out = v3.where(t == MaterialType.TRANSPARENT, trans, out)
+
+    if int(MaterialType.REFRACTIVE) in ts:
+        entering = v3.dot(normal, outgoing) >= 0.0
+        up_r = v3.where(entering, normal, -normal)
+        rel_ior = jnp.where(entering, mp.ior, 1.0 / mp.ior)
+        f_re = fresnel_dielectric(rel_ior, up_r, outgoing)
+        refr_s = jnp.where(
+            same_side, f_re, (1.0 / (rel_ior * rel_ior)) * (1.0 - f_re)
+        )
+        refr_s = jnp.where(
+            jnp.abs(mp.ior - 1.0) < 1e-3, jnp.where(opp, 1.0, 0.0), refr_s
+        )
+        out = v3.where(
+            t == MaterialType.REFRACTIVE, V3(refr_s, refr_s, refr_s), out
+        )
+
+    if int(MaterialType.VOLUMETRIC) in ts:
+        pass_s = jnp.where(same_side, 0.0, 1.0)
+        out = v3.where(
+            t == MaterialType.VOLUMETRIC, V3(pass_s, pass_s, pass_s), out
+        )
     return v3.where(mp.roughness != 0.0, v3.zeros(prod.shape), out)
 
 
 def sample_delta_pdf(mp, normal, outgoing, incoming, types=None):
     t = mp.mat_type
-    up = flip_up(normal, outgoing)
+    ts = _delta_types(types)
     prod = v3.dot(normal, incoming) * v3.dot(normal, outgoing)
     same_side = prod >= 0.0
+    out = jnp.zeros(prod.shape)
 
-    refl = jnp.where(prod <= 0.0, 0.0, 1.0)
+    if int(MaterialType.REFLECTIVE) in ts:
+        refl = jnp.where(prod <= 0.0, 0.0, 1.0)
+        out = jnp.where(t == MaterialType.REFLECTIVE, refl, out)
 
-    f_tr = fresnel_dielectric(mp.ior, up, outgoing)
-    trans = jnp.where(same_side, f_tr, 1.0 - f_tr)
+    if int(MaterialType.TRANSPARENT) in ts:
+        up = flip_up(normal, outgoing)
+        f_tr = fresnel_dielectric(mp.ior, up, outgoing)
+        trans = jnp.where(same_side, f_tr, 1.0 - f_tr)
+        out = jnp.where(t == MaterialType.TRANSPARENT, trans, out)
 
-    entering = v3.dot(normal, outgoing) >= 0.0
-    up_r = v3.where(entering, normal, -normal)
-    rel_ior = jnp.where(entering, mp.ior, 1.0 / mp.ior)
-    f_re = fresnel_dielectric(rel_ior, up_r, outgoing)
-    refr = jnp.where(same_side, f_re, 1.0 - f_re)
-    refr = jnp.where(
-        jnp.abs(mp.ior - 1.0) < 1e-3, jnp.where(prod < 0.0, 1.0, 0.0), refr
-    )
+    if int(MaterialType.REFRACTIVE) in ts:
+        entering = v3.dot(normal, outgoing) >= 0.0
+        up_r = v3.where(entering, normal, -normal)
+        rel_ior = jnp.where(entering, mp.ior, 1.0 / mp.ior)
+        f_re = fresnel_dielectric(rel_ior, up_r, outgoing)
+        refr = jnp.where(same_side, f_re, 1.0 - f_re)
+        refr = jnp.where(
+            jnp.abs(mp.ior - 1.0) < 1e-3, jnp.where(prod < 0.0, 1.0, 0.0), refr
+        )
+        out = jnp.where(t == MaterialType.REFRACTIVE, refr, out)
 
-    passthrough = jnp.where(same_side, 0.0, 1.0)
-
-    out = jnp.zeros_like(f_tr)
-    out = jnp.where(t == MaterialType.REFLECTIVE, refl, out)
-    out = jnp.where(t == MaterialType.TRANSPARENT, trans, out)
-    out = jnp.where(t == MaterialType.REFRACTIVE, refr, out)
-    out = jnp.where(t == MaterialType.VOLUMETRIC, passthrough, out)
+    if int(MaterialType.VOLUMETRIC) in ts:
+        passthrough = jnp.where(same_side, 0.0, 1.0)
+        out = jnp.where(t == MaterialType.VOLUMETRIC, passthrough, out)
     return jnp.where(mp.roughness != 0.0, 0.0, out)
 
 
@@ -679,8 +714,10 @@ def _hg_cos_theta(aniso, rn_y):
     return jnp.where(jnp.abs(aniso) < 1e-3, iso, aniso_ct)
 
 
-def sample_scattering(vol_density: V3, vol_scattering: V3, vol_aniso, outgoing, rx, ry):
-    """HG phase sampling (pathtracer.wgsl:1903-1918); zero when density==0."""
+def sample_scattering(vol_density: V3, vol_aniso, outgoing, rx, ry):
+    """HG phase sampling (pathtracer.wgsl:1903-1918); zero when density==0.
+    (The scattering albedo does not affect the sampled direction — it is
+    not a parameter here, matching sample_scattering_pdf.)"""
 
     cos_theta = _hg_cos_theta(vol_aniso, ry)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))

@@ -191,7 +191,7 @@ def _sample_volume_common(
 
     state, vr = rng_mod.next_f32(state)
     state, vx, vy = rng_mod.next_vec2(state)
-    sdir = bsdf.sample_scattering(vol_den, vol_sca, vol_aniso, outgoing, vx, vy)
+    sdir = bsdf.sample_scattering(vol_den, vol_aniso, outgoing, vx, vy)
     if use_nee:
         state, ldir = lights.sample_lights(scene, hit_pos, outgoing, state)
         incoming = v3.where(vr < 0.5, sdir, ldir)
@@ -400,12 +400,14 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         # Delta continuation (statically absent without delta-capable types).
         state, rnl_d = rng_mod.next_f32(state)
         if scene.any_delta:
-            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d)
+            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d, types)
             dead_d = v3.all_zero(inc_d)
             alive = alive & ~(dl & dead_d)
             dl_ok = dl & ~dead_d
-            f_d = bsdf.eval_delta(mp, normal, outgoing, inc_d) / jnp.maximum(
-                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d), 0.0
+            f_d = bsdf.eval_delta(
+                mp, normal, outgoing, inc_d, types
+            ) / jnp.maximum(
+                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d, types), 0.0
             )
             weight = v3.where(dl_ok, weight * f_d, weight)
         else:
@@ -703,12 +705,14 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         # Delta continuation.
         state, rnl_d = rng_mod.next_f32(state)
         if scene.any_delta:
-            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d)
+            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d, types)
             dead_d = v3.all_zero(inc_d)
             alive = alive & ~(dl & dead_d)
             dl_ok = dl & ~dead_d
-            f_d = bsdf.eval_delta(mp, normal, outgoing, inc_d) / jnp.maximum(
-                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d), 0.0
+            f_d = bsdf.eval_delta(
+                mp, normal, outgoing, inc_d, types
+            ) / jnp.maximum(
+                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d, types), 0.0
             )
             weight = v3.where(dl_ok, weight * f_d, weight)
         else:

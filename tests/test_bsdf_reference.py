@@ -447,7 +447,7 @@ def test_sampling_directions_vs_reference():
     print("sample_scattering_pdf max rel err:", (np.abs(gsp-esp)/(np.abs(esp)+1e-6)).max())
 
     # sample_scattering direction
-    gss = fromv3(bsdf.sample_scattering(tov3(den_np), tov3(sca_np), jnp.asarray(g_np,jnp.float32), ov, rx, ry))
+    gss = fromv3(bsdf.sample_scattering(tov3(den_np), jnp.asarray(g_np,jnp.float32), ov, rx, ry))
     def samp_sc(g, o, rx_, ry_):
         if abs(g) < 1e-3: ct = 1-2*ry_
         else:
