@@ -180,6 +180,12 @@ def build_superleaves(
     for j, node in enumerate(sl_nodes):
         b, e = int(begin[node]), int(end[node])
         c = e - b
+        # A depth-capped mesh-BVH leaf can exceed the stride; writing it
+        # would silently corrupt the NEXT superleaf's block. Fail loudly.
+        assert c <= stride, (
+            f"superleaf {j}: depth-capped BVH leaf holds {c} tris > "
+            f"stride {stride}; raise sl_stride_opt"
+        )
         counts[j] = c
         order[j * stride : j * stride + c] = bvh.order[b:e]
         valid[j * stride : j * stride + c] = True
@@ -196,9 +202,14 @@ def build_superleaves(
     # box + used = -1.
     sl_sub = None
     if tri_lo is not None:
-        # Chunks stay >= 128 triangles so the kernel's lane-dim sub-slices
-        # keep full-lane alignment.
-        nsub = max(1, min(NSUB, stride // 128))
+        # Chunks stay >= 128 triangles AND a 128-multiple so the kernel's
+        # lane-dim sub-slices keep full-lane alignment (stride=1152 would
+        # otherwise give cs=144 and mis-tile the packet kernel's SPB
+        # slicing): largest nsub <= NSUB with stride % (128 * nsub) == 0.
+        nsub = max(
+            n for n in range(1, min(NSUB, stride // 128) + 1)
+            if stride % (128 * n) == 0
+        )
         cs = stride // nsub
         lo_r = tri_lo[order].reshape(n_sl, nsub, cs, 3)
         hi_r = tri_hi[order].reshape(n_sl, nsub, cs, 3)
@@ -262,10 +273,19 @@ def build_top_table(lo: np.ndarray, hi: np.ndarray):
     (TOP_FAN-1)*depth + TOP_FAN + 1, see kernels/intersect.py)."""
 
     n = lo.shape[0]
-    top = build_bvh(lo, hi, max_leaf_size=1)
+    # max_leaf_size=1 MUST actually hold: a depth-capped fat leaf would
+    # encode only its first entry's ref and silently drop the rest from
+    # traversal. The mesh BVH's reference depth cap (25) does not apply
+    # to this internal build — SAH on spatially skewed AABB sets (e.g.
+    # exponentially spaced instances) peels one child per level and blows
+    # past 25 long before the 2^24 encoding limit.
+    top = build_bvh(lo, hi, max_leaf_size=1, max_depth=max(64, n))
     if n == 1:
         return np.zeros((128, TOP_COLS), np.float32), 0, True, 1
     assert n < (1 << 24), f"top table: {n} leaves exceeds the 3-factor encoding"
+    assert (top.tri_count <= 1).all(), (
+        "top build produced a fat leaf — entries would be dropped"
+    )
 
     leaf_count = np.where(top.tri_count > 0, 1, 0).astype(np.int64)
     # Post-order subtree leaf counts (for the largest-first collapse).

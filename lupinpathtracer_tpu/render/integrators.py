@@ -400,14 +400,15 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
         # Delta continuation (statically absent without delta-capable types).
         state, rnl_d = rng_mod.next_f32(state)
         if scene.any_delta:
-            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d, types)
+            tps = scene.present_mat_types
+            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d, tps)
             dead_d = v3.all_zero(inc_d)
             alive = alive & ~(dl & dead_d)
             dl_ok = dl & ~dead_d
             f_d = bsdf.eval_delta(
-                mp, normal, outgoing, inc_d, types
+                mp, normal, outgoing, inc_d, tps
             ) / jnp.maximum(
-                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d, types), 0.0
+                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d, tps), 0.0
             )
             weight = v3.where(dl_ok, weight * f_d, weight)
         else:
@@ -705,14 +706,15 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         # Delta continuation.
         state, rnl_d = rng_mod.next_f32(state)
         if scene.any_delta:
-            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d, types)
+            tps = scene.present_mat_types
+            inc_d = bsdf.sample_delta(mp, normal, outgoing, rnl_d, tps)
             dead_d = v3.all_zero(inc_d)
             alive = alive & ~(dl & dead_d)
             dl_ok = dl & ~dead_d
             f_d = bsdf.eval_delta(
-                mp, normal, outgoing, inc_d, types
+                mp, normal, outgoing, inc_d, tps
             ) / jnp.maximum(
-                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d, types), 0.0
+                bsdf.sample_delta_pdf(mp, normal, outgoing, inc_d, tps), 0.0
             )
             weight = v3.where(dl_ok, weight * f_d, weight)
         else:

@@ -547,7 +547,25 @@ def build_scene_tpu(
         # world-scaled, bvh_custom.wgsl:30-35).
         from ..accel import superleaf as sl_mod
 
-        stride = sl_stride_opt or sl_mod.pick_stride(Tw)
+        if sl_stride_opt:
+            stride = sl_stride_opt
+        else:
+            stride = sl_mod.pick_stride(Tw)
+            # The top table scales with G = sum over instances of their
+            # mesh's superleaf count, NOT with unique mesh triangles:
+            # grow the stride until the estimate fits the VMEM-resident
+            # fast path (pick_stride(Tw) alone parked every large
+            # instanced scene in the "raise the stride" warning below
+            # instead of self-tuning).
+            tri_of_inst = np.array(
+                [mesh_tris[inst.mesh_idx] for inst in scene.instances],
+                np.int64,
+            )
+            while (
+                stride < 8192
+                and int(np.sum(-(-tri_of_inst // stride))) > 262144
+            ):
+                stride *= 2
         orders, valids = [], []
         msl_lo_l, msl_hi_l, msl_sub_l = [], [], []
         msl_of_mesh = {}
@@ -773,15 +791,23 @@ def build_scene_tpu(
         tex_data = np.ones((1, 4), np.float32)
 
     # ---- alpha usage (gates the stochastic alpha-skip loop) ----
+    # Scanned once per USED material/mesh, not per instance: a full
+    # texture-alpha .min() per instance made flatten O(instances x
+    # texture pixels) on exactly the 100k-instance scenes this round
+    # vectorized everything else for.
     has_alpha = False
-    for i, inst in enumerate(scene.instances):
-        mat = scene.materials[inst.mat_idx]
+    for mi in {inst.mat_idx for inst in scene.instances}:
+        mat = scene.materials[mi]
         if float(np.asarray(mat.color)[3]) < 1.0:
             has_alpha = True
         t = int(mat.color_tex_idx) & 0xFFFFFFFF
-        if t != 0xFFFFFFFF and nt and float(scene.textures[t].data[..., 3].min()) < 1.0:
+        if (
+            t != 0xFFFFFFFF and nt
+            and float(scene.textures[t].data[..., 3].min()) < 1.0
+        ):
             has_alpha = True
-        mesh = scene.meshes[inst.mesh_idx]
+    for mi in {inst.mesh_idx for inst in scene.instances}:
+        mesh = scene.meshes[mi]
         if mesh.colors is not None and float(mesh.colors[:, 3].min()) < 1.0:
             has_alpha = True
 
@@ -816,7 +842,18 @@ def build_scene_tpu(
         A[:, pk.ATTR_MAT_ANISO] = mat_aniso[mid]
         A[:, pk.ATTR_MAT_TRDEPTH] = mat_trd[mid]
         A[:, pk.ATTR_MAT_TEX] = mat_tex[mid]
-        A[:, pk.ATTR_DET_SIGN] = inst_det_sign[wt["inst"].astype(np.int64)]
+        if two_level:
+            # Mesh-space soup: wt["inst"] holds MESH ids here, and the
+            # object-space intersection already carries the reference's
+            # backside sign (closest_hit bypasses the det fixup), so this
+            # column is never consumed on the two-level path. Bake 1.0
+            # instead of indexing the per-INSTANCE array with mesh ids —
+            # that crashed flatten whenever a used mesh id >= num_instances.
+            A[:, pk.ATTR_DET_SIGN] = 1.0
+        else:
+            A[:, pk.ATTR_DET_SIGN] = inst_det_sign[
+                wt["inst"].astype(np.int64)
+            ]
         A[:, pk.ATTR_MAT_ID] = wt["mat"]
         A[:, pk.ATTR_INST_ID] = wt["inst"]
         A[:, pk.ATTR_TRI_ID] = wt["tri"]

@@ -397,3 +397,77 @@ def test_textureless_environment_sampling():
     assert np.isfinite(p).all() and (p > 0).all()
     # No mesh lights: pdf is exactly uniform-sphere over 1 picker choice.
     np.testing.assert_allclose(p, 1.0 / (4.0 * np.pi), rtol=1e-6)
+
+
+def test_top_table_depth_capped_spread():
+    """Exponentially spaced AABBs drive the binary top build past the mesh
+    BVH's depth-25 cap (SAH peels one child per level). Regression: fat
+    depth-capped leaves encoded only their FIRST entry's ref — the other
+    superleaves silently vanished from traversal."""
+
+    n = 60
+    lo = np.stack([3.0 ** np.arange(n), np.zeros(n), np.zeros(n)], 1)
+    lo = lo.astype(np.float32)
+    hi = lo + 1.0
+    tab, rows, root_is_leaf, depth = sl_mod.build_top_table(lo, hi)
+    assert not root_is_leaf
+
+    refs = set()
+    t3 = tab[:rows].reshape(rows, sl_mod.TOP_FAN, sl_mod.CH_STRIDE)
+    for r in range(rows):
+        for c in range(sl_mod.TOP_FAN):
+            if t3[r, c, sl_mod.CH_ISLEAF] == 1.0:
+                refs.add(
+                    int(t3[r, c, sl_mod.CH_H2]) * 65536
+                    + int(t3[r, c, sl_mod.CH_HI8]) * 256
+                    + int(t3[r, c, sl_mod.CH_LO8])
+                )
+    assert refs == set(range(n)), f"missing superleaves: {set(range(n)) - refs}"
+
+
+def test_two_level_mesh_id_beyond_instance_count():
+    """Two-level flatten with a used mesh id >= the instance count.
+    Regression: the packed-attr bake indexed the per-INSTANCE det-sign
+    array with MESH ids and crashed (IndexError) on this shape."""
+
+    tri = np.array([[0, 1, 2]], np.int32)
+    m0 = MeshCPU(
+        positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        indices=tri, normals=None, texcoords=None, colors=None,
+    )
+    g = np.linspace(-1, 1, 8, dtype=np.float32)
+    xx, zz = np.meshgrid(g, g)
+    pts = np.stack([xx, 0.1 * xx * zz, zz], -1).reshape(-1, 3)
+    idx = []
+    for i in range(7):
+        for j in range(7):
+            a = i * 8 + j
+            idx += [[a, a + 1, a + 8], [a + 1, a + 9, a + 8]]
+    m1 = MeshCPU(
+        positions=pts, indices=np.asarray(idx, np.int32),
+        normals=None, texcoords=None, colors=None,
+    )
+    scene = SceneCPU(
+        meshes=[m0, m1], materials=[Material()],
+        instances=[InstanceCPU(
+            frame=np.eye(3, 4, dtype=np.float32), mesh_idx=1, mat_idx=0,
+        )],
+        environments=[], textures=[],
+    )
+    tpu = build_scene_tpu(scene, dense_max_tris=16, two_level=True)
+    assert tpu.two_level
+    ro, rd = _random_rays(np.random.default_rng(3), 128, origin_span=2.0)
+    h = intersect.closest_hit(tpu, ro, rd, 1e-4)
+    assert bool(jnp.isfinite(h.dst).all())
+
+
+def test_superleaf_nsub_keeps_lane_alignment():
+    """Caller strides that are 128-multiples but not 1024-multiples (1152)
+    must still produce 128-aligned sub-chunks (the packet kernel slices
+    SPB = stride // NSUB along the lane dim)."""
+
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64, sl_stride_opt=1152)
+    assert tpu.sl_stride == 1152
+    nsub = int(tpu.sl_sub.shape[1])
+    assert (1152 // nsub) % 128 == 0 and 1152 % nsub == 0
