@@ -1002,8 +1002,7 @@ def _packet_hit_attrs(scene, ro: V3, rd: V3, eps, W=None, active=None):
 
 
 def closest_hit_attrs(
-    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, alive_count=None,
-    active=None,
+    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, active=None,
 ):
     """Dense-mode closest hit returning (HitInfo, attrs (AW, B) or None).
 
@@ -1033,7 +1032,7 @@ def closest_hit_attrs(
     if W is None:
         W = scene_tri_matrix(scene)
     t, u, v, det, idx, attr = dense_closest_hit_attrs_pallas(
-        W, scene.wt_attr, ro, rd, eps, alive_count=alive_count
+        W, scene.wt_attr, ro, rd, eps
     )
     if active is not None:
         # Uniform semantics across backends: inactive lanes report miss

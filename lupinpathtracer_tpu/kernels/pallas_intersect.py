@@ -149,31 +149,18 @@ def _kernel_attrs(
     """Closest hit + shading attribute fetch. Identical traversal to
     `_kernel`, plus a per-block one-hot (RB,TB)@(TB,ATTR_WIDTH) matmul that
     selects the winning triangle's packed attribute row — exact, because
-    each row of the one-hot has at most a single 1.
-
-    eps_ref holds [epsilon, alive_count]: ray blocks past alive_count are
-    skipped entirely (stream compaction moves live lanes to the front, so
-    a mostly-dead wavefront only pays for its live prefix). Skipped blocks
-    leave garbage outputs — the integrators mask dead lanes anyway, except
-    t which must still read as "miss"."""
+    each row of the one-hot has at most a single 1."""
 
     R = R_ref[...]
     RB = R.shape[0]
-    T = W_ref.shape[2]
     eps = eps_ref[0]
-    alive_count = eps_ref[1]
-    num_blocks = T // TB
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, TB), 1)
 
-    block_start = pl.program_id(0) * RB
     t_ref[0] = jnp.full(t_ref.shape[1:], F32_MAX)  # miss default
-
-    @pl.when(block_start < alive_count.astype(jnp.int32))
-    def _run():
-        _kernel_attrs_body(
-            R, W_ref, A_ref, eps, t_ref, u_ref, v_ref, det_ref, idx_ref,
-            attr_ref, TB, lane,
-        )
+    _kernel_attrs_body(
+        R, W_ref, A_ref, eps, t_ref, u_ref, v_ref, det_ref, idx_ref,
+        attr_ref, TB, lane,
+    )
 
 
 def _kernel_attrs_body(
@@ -257,11 +244,12 @@ def _kernel_attrs_body(
 
 
 def dense_closest_hit_attrs_pallas(
-    W4, A, ro, rd, eps, ray_block=1024, tri_block=256, alive_count=None
+    W4, A, ro, rd, eps, ray_block=1024, tri_block=256
 ):
     """Closest hit + packed attribute row per ray. A: (T, ATTR_WIDTH).
-    With stream compaction, `alive_count` bounds the live prefix: ray blocks
-    past it are skipped (their lanes read as misses)."""
+    (An alive_count live-prefix skip existed for stream compaction; the
+    feature was measured ~30x slower and removed — integrators.py:81-85 —
+    and its f32 SMEM round-trip was a latent >2^24 precision bug.)"""
 
     B = ro.x.shape[0]
     T = W4.shape[2]
@@ -288,12 +276,7 @@ def dense_closest_hit_attrs_pallas(
     pad = (-B) % RB
     Bp = B + pad
     R = _ray_matrix(ro, rd, pad)
-    if alive_count is None:
-        alive_count = Bp
-    eps_arr = jnp.stack(
-        [jnp.asarray(eps, jnp.float32),
-         jnp.asarray(alive_count, jnp.int32).astype(jnp.float32)]
-    )
+    eps_arr = jnp.reshape(jnp.asarray(eps, jnp.float32), (1,))
 
     n_rb = Bp // RB
     sub = RB // 128

@@ -18,12 +18,18 @@ clamping and in-place path regeneration — entirely on-chip. Per-bounce HBM
 traffic is zero; the regeneration tail costs one 1k-lane block, not the
 whole frame.
 
-Semantics are IDENTICAL to integrators.pathtrace_spp (same PCG streams,
-same draw order, same accumulation): the pure lane-math modules
-(core/rng.py, render/camera.py, render/bsdf.py, render/materials.py) are
-called directly inside the kernel — only the light-table lookups are
+Semantics match integrators.pathtrace_spp (same PCG streams, same draw
+order, same accumulation): the pure lane-math modules (core/rng.py,
+render/camera.py, render/bsdf.py, render/materials.py) are called
+directly inside the kernel — only the light-table lookups are
 reimplemented gather-free (exact one-hot MXU selects), because Mosaic has
 no vector gather. tests/test_mega.py asserts agreement with the jnp path.
+The identity is BIT-exact only with precise=True; the production default
+(precise=False) runs the intersection matmuls as 3-pass hand-split bf16
+(~2^-16 relative error on det/nu/nv/nt — see _isect_attrs), so a grazing
+hit or a sub-2^-16 t tie can pick a different winning triangle than the
+wavefront path for the same seed. Golden tolerances absorb this
+(GOLDENS.md); seed-exact comparisons must pass precise=True.
 
 Reference provenance: pathtracer.wgsl:588-733 (pathtrace_standard),
 :942-1059 (pathtrace_naive), :505-542 (camera), :2468-2549 (lights),
@@ -224,7 +230,7 @@ def _isect_attrs(W_ref, A_ref, ro: V3, rd: V3, eps, *, TB, precise):
     return jax.lax.fori_loop(0, num_blocks, body, init)
 
 
-def _sample_lights_k(LT, AL, LS, size0, pos: V3, state, *, num_lights, Tl):
+def _sample_lights_k(LT, AL, LS, size0, pos: V3, state, *, num_lights):
     """In-kernel sample_lights (pathtracer.wgsl:2468-2514), mesh lights
     only (env absence is in the static gate). Identical draw order to
     render/lights.py::sample_lights."""
@@ -422,8 +428,7 @@ def _mega_kernel(
         bdir = bsdf.sample_bsdfcos(mp, normal, outgoing, rnl, rx, ry, types)
         if use_nee and num_lights > 0:
             state, ldir = _sample_lights_k(
-                LT, AL, LS, la_size0, pos_surf, state,
-                num_lights=num_lights, Tl=Tl,
+                LT, AL, LS, la_size0, pos_surf, state, num_lights=num_lights,
             )
             incoming = v3.where(r_choice < 0.5, bdir, ldir)
             pdf = 0.5 * bsdf.sample_bsdfcos_pdf(
@@ -506,7 +511,8 @@ def mega_pathtrace_spp(
     interpret: bool | None = None, precise: bool = False, sample_offset=0,
 ):
     """Drop-in replacement for integrators.pathtrace_spp on scenes passing
-    `applicable`. Returns (acc V3 summed over spp, n_traced i32)."""
+    `applicable` (bit-exact only under precise=True — see the module
+    docstring). Returns (acc V3 summed over spp, n_traced i32)."""
 
     B = pixel_idx.shape[0]
     use_nee = ptype == int(PathtraceType.STANDARD)
