@@ -561,10 +561,15 @@ def build_scene_tpu(
                 [mesh_tris[inst.mesh_idx] for inst in scene.instances],
                 np.int64,
             )
-            while (
-                stride < 8192
-                and int(np.sum(-(-tri_of_inst // stride))) > 262144
-            ):
+            while stride < 8192:
+                g_now = int(np.sum(-(-tri_of_inst // stride)))
+                g_next = int(np.sum(-(-tri_of_inst // (stride * 2))))
+                # Stop when the table fits — or when doubling no longer
+                # shrinks it (instance-count-bound scenes of small meshes:
+                # growing the stride only inflated gref*stride+lane
+                # triangle ids toward i32 overflow for nothing).
+                if g_now <= 262144 or g_next >= g_now:
+                    break
                 stride *= 2
         orders, valids = [], []
         msl_lo_l, msl_hi_l, msl_sub_l = [], [], []
@@ -646,6 +651,14 @@ def build_scene_tpu(
         assert 1 <= G < (1 << 24), (
             f"two-level top tree: {G} instance-superleaves exceeds the "
             "3-factor reference encoding"
+        )
+        # Padded-soup triangle ids are gref*stride + lane in i32 (both
+        # traversal backends); an overflowing encoding returns hits with
+        # silently wrong instance/attribute bindings (caught at 1M
+        # instances x stride 8192).
+        assert G * stride <= 2**31 - 1, (
+            f"two-level triangle ids overflow i32: {G} instance-superleaves"
+            f" x stride {stride}; pass a smaller sl_stride_opt"
         )
         if G > 262144:
             import warnings

@@ -272,6 +272,57 @@ def test_beyond_64k_instances():
     np.testing.assert_array_equal(inst, ids)
 
 
+def test_million_instances():
+    """The reference's full TLAS envelope: 1M instances
+    (renderer.rs:317-319). Functional proof on the default traversal path:
+    probe rays hit their own instance at the right distance AND the
+    winning-triangle -> instance binding is exact. Also regression-pins
+    the stride auto-pick: growing the stride cannot shrink an
+    instance-count-bound pair table, and an overgrown stride overflowed
+    the i32 gref*stride+lane triangle ids at this scale (wrong instance
+    bindings with correct distances)."""
+
+    N = 1_000_000
+    side = 1000
+    quad_p = np.array(
+        [[-0.2, 0, -0.2], [0.2, 0, -0.2], [0.2, 0, 0.2], [-0.2, 0, 0.2]],
+        np.float32,
+    )
+    quad = MeshCPU(
+        positions=quad_p,
+        indices=np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=None, texcoords=None, colors=None,
+    )
+    frames = np.tile(np.eye(3, 4, dtype=np.float32), (N, 1, 1))
+    frames[:, 0, 3] = (np.arange(N) % side).astype(np.float32)
+    frames[:, 2, 3] = (np.arange(N) // side).astype(np.float32)
+    insts = [
+        InstanceCPU(frame=frames[i], mesh_idx=0, mat_idx=0) for i in range(N)
+    ]
+    scene = SceneCPU(
+        meshes=[quad], instances=insts, materials=[Material()],
+        environments=[], textures=[],
+    )
+    tpu = build_scene_tpu(scene, two_level=True)
+    assert tpu.two_level and tpu.sl_count == N and tpu.msl_count == 1
+    # The stride pick must not inflate triangle ids past i32 (1M
+    # superleaves x stride 8192 overflowed before the pick was fixed).
+    assert tpu.sl_count * tpu.sl_stride <= 2**31 - 1
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, N, size=256)
+    ox = (ids % side).astype(np.float32)
+    oz = (ids // side).astype(np.float32)
+    ro = v3.V3(jnp.asarray(ox), jnp.full(256, 5.0), jnp.asarray(oz))
+    rd = v3.V3(jnp.zeros(256), jnp.full(256, -1.0), jnp.zeros(256))
+    h = intersect.closest_hit(tpu, ro, rd, 1e-3)
+    np.testing.assert_array_equal(np.asarray(h.hit), True)
+    np.testing.assert_allclose(np.asarray(h.dst), 5.0, rtol=1e-5)
+    gsl = np.asarray(h.tri) // tpu.sl_stride
+    inst = np.asarray(tpu.gsl_inst)[gsl]
+    np.testing.assert_array_equal(inst, ids)
+
+
 def test_packet_stream_mode_matches(both, rng, monkeypatch):
     """TL_STREAM (HBM-streamed per-leaf metadata, the large-instance mode
     of kernels/pallas_packet.py) must agree with the flat world-soup walk.
