@@ -57,6 +57,17 @@ from ..core.vec3 import V3
 
 F32_MAX = 3.4028235e38
 
+# Coefficient rows per feature, PADDED to the f32 sublane tile (8): the
+# logical matrix is (4, 10, T) (intersect.build_tri_matrix) but an HBM
+# DMA may only slice tile-aligned extents along the second-minor dim —
+# Mosaic rejects a (4, 10, SP) slice of the (physically 16-row-padded)
+# array outright ("Slice shape along dimension 1 must be aligned to
+# tiling (8), but is 10", seen on v5e). The HBM layout already pads 10
+# -> 16 rows, so DMA-ing all 16 moves the same tiles; the 6 pad rows are
+# zeros and the ray-feature stack is zero-padded to match, so every dot
+# over the 16-row axis is unchanged.
+WROWS = 16
+
 
 def _pack_top(tab: jnp.ndarray):
     """Split the condensed row table into the two kernel-side tables.
@@ -215,6 +226,12 @@ def probe_scene(scene) -> bool:
 
         ro, rd = _probe_rays(scene)
         W4 = it.scene_tri_matrix(scene)
+        # Scene tables and W4 MUST be jit ARGUMENTS, never closed over:
+        # closures bake them into the MLIR as dense constants, and at
+        # real scene scale the remote-compile request body runs to
+        # hundreds of MB (observed: HTTP 413 on the axon tunnel at 2.9M
+        # tris). The renderer's own dispatches pass scene as an argument
+        # already; the probe must match.
         if scene.two_level:
             # Two-level scenes have NO jnp masked-stack walk (flatten
             # builds placeholder bvh_* arrays) — closest_hit_bvh would
@@ -226,8 +243,8 @@ def probe_scene(scene) -> bool:
             os.environ["LUPIN_NO_PACKET"] = "1"
             try:
                 ref = jax.jit(
-                    lambda o, d: it.closest_hit_wavefront(scene, o, d, 1e-4)
-                )(ro, rd)
+                    lambda s, o, d: it.closest_hit_wavefront(s, o, d, 1e-4)
+                )(scene, ro, rd)
             finally:
                 if old is None:
                     os.environ.pop("LUPIN_NO_PACKET", None)
@@ -235,13 +252,13 @@ def probe_scene(scene) -> bool:
                     os.environ["LUPIN_NO_PACKET"] = old
         else:
             ref = jax.jit(
-                lambda o, d: it.closest_hit_bvh(scene, o, d, 1e-4)
-            )(ro, rd)
+                lambda s, o, d: it.closest_hit_bvh(s, o, d, 1e-4)
+            )(scene, ro, rd)
         ref_hit = np.asarray(ref.hit)
         ref_t = np.asarray(ref.dst)
         t, u, v, det, tri = jax.jit(
-            lambda o, d: packet_traverse(scene, o, d, 1e-4, W4)
-        )(ro, rd)
+            lambda s, o, d, w: packet_traverse(s, o, d, 1e-4, w)
+        )(scene, ro, rd, W4)
         tn = np.asarray(t)
         hit = tn < F32_MAX
         # The packet kernel evaluates triangles via the MXU coefficient
@@ -269,10 +286,10 @@ def probe_scene(scene) -> bool:
                 raise AssertionError("winning-triangle mismatch")
         if not scene.two_level:
             t2, *rest = jax.jit(
-                lambda o, d: packet_traverse(
-                    scene, o, d, 1e-4, W4, with_attrs=True
+                lambda s, o, d, w: packet_traverse(
+                    s, o, d, 1e-4, w, with_attrs=True
                 )
-            )(ro, rd)
+            )(scene, ro, rd, W4)
             np.testing.assert_array_equal(
                 np.asarray(t2), tn, err_msg="fused-attrs t differs"
             )
@@ -323,11 +340,14 @@ def _packet_kernel(
     cx = roy * rdz - roz * rdy
     cy = roz * rdx - rox * rdz
     cz = rox * rdy - roy * rdx
-    # Transposed ray features (10, PBK): rays ride the lanes (see
+    # Transposed ray features (WROWS, PBK): rays ride the lanes (see
     # pallas_bvh._pair_kernel's layout note — a (PBK, 10) minor-axis stack
-    # is an unsupported Mosaic relayout).
+    # is an unsupported Mosaic relayout). Rows 10..15 are zeros matching
+    # the coefficient matrix's tile padding (see WROWS).
+    zr = jnp.zeros_like(rox)
     RT = jnp.stack(
-        [rdx, rdy, rdz, cx, cy, cz, rox, roy, roz, jnp.ones_like(rox)],
+        [rdx, rdy, rdz, cx, cy, cz, rox, roy, roz, jnp.ones_like(rox)]
+        + [zr] * (WROWS - 10),
         axis=0,
     )
 
@@ -397,9 +417,10 @@ def _packet_kernel(
         lcx = loy * ldz - loz * ldy
         lcy = loz * ldx - lox * ldz
         lcz = lox * ldy - loy * ldx
+        zl = jnp.zeros_like(lox)
         RTl = jnp.stack(
             [ldx, ldy, ldz, lcx, lcy, lcz, lox, loy, loz,
-             jnp.ones_like(lox)],
+             jnp.ones_like(lox)] + [zl] * (WROWS - 10),
             axis=0,
         )
         return RTl, (lox, loy, loz), (1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
@@ -674,10 +695,12 @@ def _packet_kernel(
         )
 
 
-# Compact DMA slice of the packed attribute matrix: IA inputs live in
-# columns [0, ATTR_BIT.stop) plus DET_SIGN/MAT_ID at 58/59 — one 64-wide
-# column slice covers all of them (pallas_intersect.ATTR_* layout).
-AWC = 64
+# DMA width of the packed attribute matrix: the IA inputs live in columns
+# [0, 60) of the 128-wide rows (pallas_intersect.ATTR_* layout), but an
+# HBM DMA may only slice lane-tile (128) multiples along the minor dim,
+# so the copy takes the full row — same tiles as a 64-wide slice would
+# touch anyway.
+AWC = 128
 
 
 def _attr_phase(A_ref, av_ref, ia_ref, sem_ref, bt, bu, bv, bi,
@@ -781,6 +804,11 @@ def packet_traverse(
     assert not (with_attrs and scene.two_level)
     B = ro.x.shape[0]
     SP = scene.sl_stride
+    # Tile-pad the coefficient rows 10 -> WROWS so the per-leaf DMA slices
+    # an aligned extent (see WROWS). XLA fuses this into W4's one-time
+    # materialization as the kernel operand.
+    if W4.shape[1] < WROWS:
+        W4 = jnp.pad(W4, ((0, 0), (0, WROWS - W4.shape[1]), (0, 0)))
     pad = (-B) % PBK
     Bp = B + pad
 
@@ -875,7 +903,7 @@ def packet_traverse(
         out_shape=tuple(out_shapes),
         scratch_shapes=[
             pltpu.SMEM((SMAX,), jnp.int32),
-            pltpu.VMEM((2, 4, 10, SP), jnp.float32),
+            pltpu.VMEM((2, 4, WROWS, SP), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),

@@ -43,6 +43,8 @@ for s in materials2 materials3 materials4 materials5; do
   step "eps_${s}" timeout 5400 $G --scene "$s" --scale 0.25 --samples 64
 done
 
+step prof_stream timeout 3000 python tools/prof_stream.py
+
 # Full reference workload (1000 samples, full res). --ckpt checkpoints the
 # accumulation buffer so an interrupted run resumes instead of restarting.
 for s in furnace1 arealights1 instances1 environments1; do

@@ -104,11 +104,14 @@ def run_configs(tpu, tag):
     _ = float(jnp.sum(rot.x))
 
     # Packet FIRST: it is the unknown (fresh Mosaic lowering); fail fast.
-    f_p0 = jax.jit(lambda ro, rd: pkt.packet_traverse(
-        tpu, ro, rd, 1e-3, W4, PBK=256))
+    # Scene/W4 are jit ARGUMENTS everywhere below — closed-over tables
+    # become MLIR constants and blow the remote-compile body size
+    # (HTTP 413 at 456k tris, observed 2026-08-19).
+    f_p0 = jax.jit(lambda s, ro, rd, w: pkt.packet_traverse(
+        s, ro, rd, 1e-3, w, PBK=256))
     try:
-        timeit(f"[{tag}] packet PBK=256 smoke (row-major)", f_p0, ro, rd,
-               reps=2)
+        timeit(f"[{tag}] packet PBK=256 smoke (row-major)", f_p0, tpu, ro, rd,
+               W4, reps=2)
     except Exception as e:
         import traceback
         traceback.print_exc()
@@ -116,42 +119,43 @@ def run_configs(tpu, tag):
 
     import os
     os.environ["LUPIN_NO_PACKET"] = "1"
-    f_sort = jax.jit(lambda ro, rd: isx.closest_hit_wavefront(tpu, ro, rd, 1e-3))
-    t_sort, h_sort = timeit(f"[{tag}] sort backend, camera rays", f_sort, ro, rd)
+    f_sort = jax.jit(lambda s, ro, rd: isx.closest_hit_wavefront(s, ro, rd, 1e-3))
+    t_sort, h_sort = timeit(f"[{tag}] sort backend, camera rays", f_sort, tpu, ro, rd)
     del os.environ["LUPIN_NO_PACKET"]
 
     for PBK in (256, 1024):
-        f_p = jax.jit(lambda ro, rd, PBK=PBK: pkt.packet_traverse(
-            tpu, ro, rd, 1e-3, W4, PBK=PBK))
+        f_p = jax.jit(lambda s, ro, rd, w, PBK=PBK: pkt.packet_traverse(
+            s, ro, rd, 1e-3, w, PBK=PBK))
         try:
             t_p, out = timeit(
-                f"[{tag}] packet PBK={PBK}, row-major camera", f_p, ro, rd)
+                f"[{tag}] packet PBK={PBK}, row-major camera", f_p, tpu, ro, rd, W4)
             tt = out[0]
             agree = float(jnp.mean(
                 ((tt < 3e38) == h_sort.hit).astype(jnp.float32)))
             print(f"    hit agreement vs sort: {agree:.6f}", flush=True)
             t_pt, _ = timeit(
-                f"[{tag}] packet PBK={PBK}, 16x16-tiled camera", f_p, rot, rdt)
+                f"[{tag}] packet PBK={PBK}, 16x16-tiled camera", f_p, tpu, rot,
+                rdt, W4)
         except Exception as e:
             print(f"    packet PBK={PBK} FAILED: {type(e).__name__}: {e}",
                   flush=True)
 
     # Secondary (diffuse bounce) rays — the divergence stress test.
-    f_b = jax.jit(lambda ro, rd, st: bounce_rays(tpu, ro, rd, st))
-    eo, ed, hitm = f_b(rot, rdt, state2)
+    f_b = jax.jit(lambda s, ro, rd, st: bounce_rays(s, ro, rd, st))
+    eo, ed, hitm = f_b(tpu, rot, rdt, state2)
     _ = float(jnp.sum(eo.x))
-    f_p2 = jax.jit(lambda ro, rd, act: pkt.packet_traverse(
-        tpu, ro, rd, 1e-3, W4, PBK=256, active=act))
+    f_p2 = jax.jit(lambda s, ro, rd, w, act: pkt.packet_traverse(
+        s, ro, rd, 1e-3, w, PBK=256, active=act))
     try:
-        timeit(f"[{tag}] packet PBK=256, bounce rays (tiled px)", f_p2, eo, ed,
-               hitm)
+        timeit(f"[{tag}] packet PBK=256, bounce rays (tiled px)", f_p2, tpu,
+               eo, ed, W4, hitm)
     except Exception as e:
         print(f"    packet bounce FAILED: {type(e).__name__}: {e}", flush=True)
     import os
     os.environ["LUPIN_NO_PACKET"] = "1"
-    f_s2 = jax.jit(lambda ro, rd, act: isx.closest_hit_wavefront(
-        tpu, ro, rd, 1e-3, active=act))
-    timeit(f"[{tag}] sort backend, bounce rays", f_s2, eo, ed, hitm)
+    f_s2 = jax.jit(lambda s, ro, rd, act: isx.closest_hit_wavefront(
+        s, ro, rd, 1e-3, active=act))
+    timeit(f"[{tag}] sort backend, bounce rays", f_s2, tpu, eo, ed, hitm)
     del os.environ["LUPIN_NO_PACKET"]
 
 
