@@ -728,10 +728,15 @@ def _attr_phase(A_ref, av_ref, ia_ref, sem_ref, bt, bu, bv, bi,
     iota_sp = jax.lax.broadcasted_iota(jnp.int32, (SP, PBK), 0)
     dims_oh = (((0,), (0,)), ((), ()))  # (SP, AWC) x (SP, PBK) -> (AWC, PBK)
 
-    def cond(rem):
-        return jnp.any(rem)
+    # The remaining-lanes set is carried as i32, not bool: Mosaic cannot
+    # legalize an scf.yield of a vector<...xi1> loop carry ("failed to
+    # legalize operation 'scf.yield'" with an i1 vpad layout, seen on v5e
+    # 2026-08-19) — masks must round-trip through a 32-bit vector.
+    def cond(rem_i):
+        return jnp.any(rem_i > 0)
 
-    def body(rem):
+    def body(rem_i):
+        rem = rem_i > 0
         sl_cur = jnp.min(jnp.where(rem, wsl, 2**30))
         if interpret:
             av_ref[...] = A_ref[pl.ds(sl_cur * SP, SP), :AWC]
@@ -778,9 +783,9 @@ def _attr_phase(A_ref, av_ref, ia_ref, sem_ref, bt, bu, bv, bi,
         new = jnp.stack(rows, axis=0)  # (AWOUT, PBK)
         selw = sel[None, :]
         ia_ref[0] = jnp.where(selw, new, ia_ref[0])
-        return rem & ~sel
+        return (rem & ~sel).astype(jnp.int32)
 
-    jax.lax.while_loop(cond, body, hitm)
+    jax.lax.while_loop(cond, body, hitm.astype(jnp.int32))
 
 
 def packet_traverse(
