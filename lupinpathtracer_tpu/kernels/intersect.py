@@ -405,6 +405,82 @@ def closest_hit_bvh(scene, ro: V3, rd: V3, eps, with_counts: bool = False):
     return info
 
 
+def closest_hit_brute_two_level(scene, ro: V3, rd: V3, eps, W, chunk=16):
+    """Brute-force two-level closest hit: every (ray, global superleaf)
+    pair evaluated by dense batched matmuls over gsl chunks (lax.map).
+
+    O(B * n_gsl * SP) — strictly a REFERENCE for probe-sized batches
+    (pallas_packet.probe_scene): unlike the sort wavefront it contains no
+    Pallas kernel, so it compiles at ANY instance count (the sort backend's
+    SMEM/VMEM tables scale with n_inst/n_sl and stop compiling around 10k
+    instances on v5e). Same coefficient algebra as both real backends
+    (build_tri_matrix), instance transform per bvh_custom.wgsl:30-35
+    (direction unnormalized so t stays world-scaled). Ties broken toward
+    the lowest global triangle id."""
+
+    B = ro.x.shape[0]
+    SP = scene.sl_stride
+    n_gsl = scene.sl_count
+    Wr = W.reshape(4, 10, scene.msl_count, SP)
+    G = -(-n_gsl // chunk) * chunk
+    n_ch = G // chunk
+
+    def padg(x, fill):
+        return jnp.pad(x, ((0, G - n_gsl),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    msl_ch = padg(scene.gsl_msl.astype(jnp.int32), 0).reshape(n_ch, chunk)
+    inv_ch = padg(
+        scene.inst_inv.reshape(-1, 12)[scene.gsl_inst], 0.0
+    ).reshape(n_ch, chunk, 12)
+    valid_ch = (jnp.arange(G, dtype=jnp.int32) < n_gsl).reshape(n_ch, chunk)
+    gid_ch = jnp.arange(G, dtype=jnp.int32).reshape(n_ch, chunk)
+
+    def body(args):
+        msl_c, inv_c, val_c, gid_c = args
+        # Mesh-space ray frame per (gsl, ray): (C, B) components.
+        m = [inv_c[:, j : j + 1] for j in range(12)]
+        ox = m[0] * ro.x + m[1] * ro.y + m[2] * ro.z + m[3]
+        oy = m[4] * ro.x + m[5] * ro.y + m[6] * ro.z + m[7]
+        oz = m[8] * ro.x + m[9] * ro.y + m[10] * ro.z + m[11]
+        dx = m[0] * rd.x + m[1] * rd.y + m[2] * rd.z
+        dy = m[4] * rd.x + m[5] * rd.y + m[6] * rd.z
+        dz = m[8] * rd.x + m[9] * rd.y + m[10] * rd.z
+        cx = oy * dz - oz * dy
+        cy = oz * dx - ox * dz
+        cz = ox * dy - oy * dx
+        RT = jnp.stack(
+            [dx, dy, dz, cx, cy, cz, ox, oy, oz, jnp.ones_like(ox)], axis=1
+        )  # (C, 10, B)
+        Wc = jnp.take(Wr, msl_c, axis=2)  # (4, 10, C, SP)
+        vals = jnp.einsum(
+            "frcs,crb->fcbs", Wc, RT,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4, C, B, SP)
+        det, nu, nv, nt = vals[0], vals[1], vals[2], vals[3]
+        d = 1.0 / det
+        tt, uu, vv = nt * d, nu * d, nv * d
+        ok = (
+            (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt >= eps)
+            & val_c[:, None, None]
+        )
+        tm = jnp.where(ok, tt, F32_MAX)  # (C, B, SP)
+        flat = tm.transpose(1, 0, 2).reshape(B, chunk * SP)
+        k = jnp.argmin(flat, axis=1)  # first minimum = lowest (c, s)
+        bt = jnp.take_along_axis(flat, k[:, None], axis=1)[:, 0]
+        tri = gid_c[k // SP] * SP + (k % SP)
+        return bt, tri
+
+    bts, btris = jax.lax.map(body, (msl_ch, inv_ch, valid_ch, gid_ch))
+    k = jnp.argmin(bts, axis=0)  # (B,) first minimal chunk on ties
+    t = jnp.take_along_axis(bts, k[None], axis=0)[0]
+    tri = jnp.take_along_axis(btris, k[None], axis=0)[0]
+    return HitInfo(
+        hit=t < F32_MAX, dst=t, u=jnp.zeros_like(t), v=jnp.zeros_like(t),
+        tri=jnp.where(t < F32_MAX, tri, 0), backside=jnp.zeros_like(t) > 0,
+    )
+
+
 def count_traversal(scene, ro: V3, rd: V3, eps):
     """Per-ray tri/AABB check counts for one closest-hit query (the debug
     heatmap's data source). Dense mode tests every triangle by design."""
@@ -443,6 +519,10 @@ WF_Q_TAIL = 32  # straggler rounds: few lanes x many remaining visits —
 # stays small (QB_tail = C * Q_TAIL ~ Bp * 4 slots)
 WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
+INST_SMEM_MAX = 2048  # above this, per-instance tables no longer ride the
+# attr kernel as SMEM scalar-prefetch operands (Mosaic pads (n, 9) f32 to
+# (n, 128) — 51 MB vs the 1 MB SMEM budget at 100k instances); the
+# instance rotation moves to an XLA tail (_rotate_attrs_by_instance)
 
 
 def closest_hit_wavefront(
@@ -755,6 +835,16 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
         scene.msl_count, SP, pk.ATTR_WIDTH
     )
     with_tan = bool(scene.any_normal_maps)
+    # Per-instance tables ride the kernel as scalar-prefetch SMEM operands,
+    # which Mosaic pads to (rows, 128) — (n_inst, 9) f32 is 51 MB of SMEM at
+    # 100k instances against the 1 MB budget (observed OOM on v5e). Huge-
+    # instance scenes run the kernel in mesh space (identity tables) and
+    # apply the instance rotation + material override in XLA afterwards:
+    # three lane gathers per batch, only on the scenes where SMEM residency
+    # is impossible.
+    huge_inst = scene.two_level and scene.num_instances > INST_SMEM_MAX
+    if huge_inst:
+        inst_k = nrm_tab = ovr_tab = None
     a = pb.attr_fetch(
         blk_k, msl_k, lo_k, hi_k, s_li, s_u, s_v, A3,
         pair_block=PB, with_tangents=with_tan, inst=inst_k,
@@ -781,7 +871,7 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
         bit = V3(tb[3], tb[4], tb[5])
 
     ia = pb
-    return InterpAttrs(
+    out = InterpAttrs(
         n=V3(r[ia.IA_N.start], r[ia.IA_N.start + 1], r[ia.IA_N.start + 2]),
         gn=V3(r[ia.IA_GN.start], r[ia.IA_GN.start + 1], r[ia.IA_GN.start + 2]),
         tu=r[ia.IA_TU],
@@ -793,6 +883,50 @@ def wavefront_fetch_attrs(scene, hit: HitInfo) -> InterpAttrs:
         mat_id=r[ia.IA_MAT_ID].astype(jnp.int32),
         tan=tan,
         bit=bit,
+    )
+    if huge_inst:
+        out = _rotate_attrs_by_instance(scene, hit, out)
+    return out
+
+
+def _rotate_attrs_by_instance(scene, hit: HitInfo, ia: InterpAttrs):
+    """XLA tail of the huge-instance attr path: the attr kernel ran with
+    identity instance tables (see wavefront_fetch_attrs), so the rows are
+    still mesh-space. Reproduces exactly what _attr_kernel does in-kernel
+    for two-level items: rotate n/gn/tan/bit by the winning instance's
+    normal matrix (gn renormalized), override mat_id. Miss lanes hold
+    zeros; rotating zeros keeps them zeros."""
+
+    SP = scene.sl_stride
+    gsl = jnp.where(hit.hit, hit.tri, 0) // SP
+    inst = scene.gsl_inst[gsl]
+    nm = scene.inst_normal_mat.reshape(-1, 9)[inst]  # (B, 9)
+
+    def rot(v: V3, renorm=False) -> V3:
+        rx = nm[:, 0] * v.x + nm[:, 1] * v.y + nm[:, 2] * v.z
+        ry = nm[:, 3] * v.x + nm[:, 4] * v.y + nm[:, 5] * v.z
+        rz = nm[:, 6] * v.x + nm[:, 7] * v.y + nm[:, 8] * v.z
+        if renorm:
+            inv = jax.lax.rsqrt(
+                jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-30)
+            )
+            rx, ry, rz = rx * inv, ry * inv, rz * inv
+        return V3(rx, ry, rz)
+
+    ovr = scene.inst_mat[inst]
+    mat_id = jnp.where(hit.hit & (ovr >= 0), ovr, ia.mat_id)
+    return InterpAttrs(
+        n=rot(ia.n),
+        gn=rot(ia.gn, renorm=True),
+        tu=ia.tu,
+        tv=ia.tv,
+        has_uv=ia.has_uv,
+        vc=ia.vc,
+        vca=ia.vca,
+        det_sign=ia.det_sign,
+        mat_id=mat_id,
+        tan=None if ia.tan is None else rot(ia.tan),
+        bit=None if ia.bit is None else rot(ia.bit),
     )
 
 

@@ -208,8 +208,6 @@ def probe_scene(scene) -> bool:
     crashing or rendering wrong. Cached per signature per process.
     LUPIN_SKIP_PROBE=1 skips the probe compiles (trusts the kernel)."""
 
-    import os
-
     key = scene_probe_key(scene)
     if key in _PROBE_OK:
         return _PROBE_OK[key]
@@ -234,22 +232,17 @@ def probe_scene(scene) -> bool:
         # already; the probe must match.
         if scene.two_level:
             # Two-level scenes have NO jnp masked-stack walk (flatten
-            # builds placeholder bvh_* arrays) — closest_hit_bvh would
-            # compare against garbage and wrongly disable the packet
-            # path (or loop on the degenerate root). Reference is the
-            # sort wavefront instead: an independent lowering whose
-            # two-level parity the interpret-mode suite pins down.
-            old = os.environ.get("LUPIN_NO_PACKET")
-            os.environ["LUPIN_NO_PACKET"] = "1"
-            try:
-                ref = jax.jit(
-                    lambda s, o, d: it.closest_hit_wavefront(s, o, d, 1e-4)
-                )(scene, ro, rd)
-            finally:
-                if old is None:
-                    os.environ.pop("LUPIN_NO_PACKET", None)
-                else:
-                    os.environ["LUPIN_NO_PACKET"] = old
+            # builds placeholder bvh_* arrays). The reference is the
+            # brute-force chunked all-pairs evaluation: pure XLA, so it
+            # compiles at ANY instance count (the sort wavefront's SMEM/
+            # VMEM tables scale with n_inst and stop compiling ~10k
+            # instances — a probe reference must never be the thing that
+            # fails first).
+            ref = jax.jit(
+                lambda s, o, d, w: it.closest_hit_brute_two_level(
+                    s, o, d, 1e-4, w
+                )
+            )(scene, ro, rd, W4)
         else:
             ref = jax.jit(
                 lambda s, o, d: it.closest_hit_bvh(s, o, d, 1e-4)

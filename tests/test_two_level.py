@@ -506,3 +506,56 @@ def test_two_level_single_superleaf_instance_transform(rng):
     np.testing.assert_allclose(
         np.asarray(h2.dst)[m], np.asarray(h1.dst)[m], rtol=5e-4, atol=1e-4
     )
+
+
+def test_brute_force_two_level_reference(both, rng):
+    """closest_hit_brute_two_level (the packet probe's universal two-level
+    reference — pure XLA, compiles at any instance count) must agree with
+    the real traversal backends."""
+
+    scene, flat, two = both
+    ro, rd = _rays(rng, 256)
+    W = intersect.scene_tri_matrix(two)
+    hb = intersect.closest_hit_brute_two_level(two, ro, rd, 1e-4, W)
+    h2 = intersect.closest_hit(two, ro, rd, jnp.float32(1e-4))
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(h2.hit))
+    m = np.asarray(h2.hit)
+    np.testing.assert_allclose(
+        np.asarray(hb.dst)[m], np.asarray(h2.dst)[m], rtol=1e-5, atol=1e-6
+    )
+    # Ties across instances may pick a different winning triangle.
+    same_tri = (np.asarray(hb.tri) == np.asarray(h2.tri))[m].mean()
+    assert same_tri > 0.95, same_tri
+
+
+def test_huge_instance_attr_path_matches(both, rng, monkeypatch):
+    """Above INST_SMEM_MAX instances the attr kernel runs with identity
+    instance tables and the rotation/material override move to an XLA tail
+    (_rotate_attrs_by_instance) — outputs must match the in-kernel path."""
+
+    scene, flat, two = both
+    ro, rd = _rays(rng, 256)
+    h2 = intersect.closest_hit(two, ro, rd, jnp.float32(1e-4))
+    ia_ref = intersect.wavefront_fetch_attrs(two, h2)
+
+    monkeypatch.setattr(intersect, "INST_SMEM_MAX", 0)
+    ia = intersect.wavefront_fetch_attrs(two, h2)
+
+    m = np.asarray(h2.hit)
+
+    def close(a, b, **kw):
+        np.testing.assert_allclose(
+            np.asarray(a)[m], np.asarray(b)[m], rtol=1e-5, atol=1e-6, **kw
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(ia.mat_id)[m], np.asarray(ia_ref.mat_id)[m]
+    )
+    for f in ("n", "gn", "vc"):
+        for c in ("x", "y", "z"):
+            close(getattr(getattr(ia, f), c), getattr(getattr(ia_ref, f), c))
+    for f in ("tu", "tv", "vca", "det_sign"):
+        close(getattr(ia, f), getattr(ia_ref, f))
+    np.testing.assert_array_equal(
+        np.asarray(ia.has_uv)[m], np.asarray(ia_ref.has_uv)[m]
+    )
