@@ -973,6 +973,24 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB, Q=None):
     )
     msl_k, inst_k, txf_tab, _, _ = _item_instancing(scene, sl_k)
 
+    if scene.two_level and scene.num_instances > INST_SMEM_MAX:
+        # The per-instance transform table can't ride the pair kernel as an
+        # SMEM scalar-prefetch operand at this scale (Mosaic pads (n, 12)
+        # f32 to (n, 128) — 51 MB vs the 1 MB budget at 100k instances).
+        # Transform the sorted pair rays into mesh space HERE instead: one
+        # (QB, 12) gather per round, and the kernel runs with the identity.
+        gsl_p = jnp.minimum(skey, n_sl - 1)
+        m12 = scene.inst_inv.reshape(-1, 12)[scene.gsl_inst[gsl_p]]
+        m = [m12[:, j] for j in range(12)]
+        ox = m[0] * srox + m[1] * sroy + m[2] * sroz + m[3]
+        oy = m[4] * srox + m[5] * sroy + m[6] * sroz + m[7]
+        oz = m[8] * srox + m[9] * sroy + m[10] * sroz + m[11]
+        dx = m[0] * srdx + m[1] * srdy + m[2] * srdz
+        dy = m[4] * srdx + m[5] * srdy + m[6] * srdz
+        dz = m[8] * srdx + m[9] * srdy + m[10] * srdz
+        srox, sroy, sroz, srdx, srdy, srdz = ox, oy, oz, dx, dy, dz
+        inst_k, txf_tab = None, None
+
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
     t, u, v, det, gtri = pb.pair_intersect(
         blk_k, sl_k, lo_k, hi_k,

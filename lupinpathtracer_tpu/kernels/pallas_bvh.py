@@ -49,6 +49,10 @@ from ..accel.superleaf import (
 
 F32_MAX = 3.4028235e38
 
+# Row-chunk bound for the top kernel's one-hot node fetch: (chunk, RB) bf16
+# intermediates stay ~4 MB at RB=2048 (see _top_kernel.fetch_rows).
+_FETCH_CHUNK = 1024
+
 
 # ---------------------------------------------------------------------------
 # Phase A: top-tree traversal
@@ -128,7 +132,27 @@ def _top_kernel(
 
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, RB), 0)
     qrow = jax.lax.broadcasted_iota(jnp.int32, (Q, RB), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RB), 0)
+
+    def fetch_rows(row):
+        """Exact one-hot row fetch, (TOP_COLS, RB) = tab[:, row] per lane.
+        The (ROWS, RB) one-hot intermediate scales with the tree size —
+        28.9 MB at ~7k rows / RB=2048 (v5e scoped-VMEM OOM at 100k
+        instance-superleaves) — so huge trees accumulate the fetch over
+        row chunks bounded to ~4 MB each instead."""
+
+        if ROWS <= _FETCH_CHUNK:
+            col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RB), 0)
+            oh = (col == row[None, :]).astype(jnp.bfloat16)
+            return jnp.dot(tab, oh, preferred_element_type=jnp.float32)
+        acc = jnp.zeros((tab.shape[0], RB), jnp.float32)
+        for c0 in range(0, ROWS, _FETCH_CHUNK):
+            ch = min(_FETCH_CHUNK, ROWS - c0)
+            colc = c0 + jax.lax.broadcasted_iota(jnp.int32, (ch, RB), 0)
+            oh = (colc == row[None, :]).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(
+                tab[:, c0 : c0 + ch], oh, preferred_element_type=jnp.float32
+            )
+        return acc
 
     def cond(c):
         stack, sp, cnt, out, aabb = c
@@ -158,8 +182,7 @@ def _top_kernel(
         # lives in the i32 compare.
         is_int = active & (node >= 0)
         row = jnp.where(is_int, node, -1)
-        onehot = (col == row[None, :]).astype(jnp.bfloat16)
-        fetch = jnp.dot(tab, onehot, preferred_element_type=jnp.float32)
+        fetch = fetch_rows(row)
 
         ts = []
         refs = []

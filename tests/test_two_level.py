@@ -559,3 +559,31 @@ def test_huge_instance_attr_path_matches(both, rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(ia.has_uv)[m], np.asarray(ia_ref.has_uv)[m]
     )
+
+
+def test_huge_instance_sort_path_matches(both, rng, monkeypatch):
+    """Above INST_SMEM_MAX the sort wavefront pre-transforms sorted pair
+    rays in XLA and runs the pair kernel with identity instance tables;
+    the chunked top-kernel node fetch replaces the full-width one-hot.
+    Hits must match the SMEM-resident configuration exactly."""
+
+    from lupinpathtracer_tpu.kernels import pallas_bvh
+
+    scene, flat, two = both
+    ro, rd = _rays(rng, 512)
+    monkeypatch.setenv("LUPIN_NO_PACKET", "1")
+    h_ref = intersect.closest_hit_wavefront(two, ro, rd, 1e-4)
+
+    monkeypatch.setattr(intersect, "INST_SMEM_MAX", 0)
+    monkeypatch.setattr(pallas_bvh, "_FETCH_CHUNK", 8)
+    h = intersect.closest_hit_wavefront(two, ro, rd, 1e-4)
+
+    np.testing.assert_array_equal(np.asarray(h.hit), np.asarray(h_ref.hit))
+    m = np.asarray(h_ref.hit)
+    # Pre-transformed rays run the same mesh-space algebra on identically-
+    # conditioned inputs; only the transform's op order differs.
+    np.testing.assert_allclose(
+        np.asarray(h.dst)[m], np.asarray(h_ref.dst)[m], rtol=1e-6, atol=1e-7
+    )
+    same_tri = (np.asarray(h.tri) == np.asarray(h_ref.tri))[m].mean()
+    assert same_tri > 0.99, same_tri
