@@ -101,6 +101,22 @@ def _pack_top(tab: jnp.ndarray):
 _PROBE_OK: dict = {}  # {scene_probe_key(scene): bool} — see probe_scene()
 
 
+def _ev_precision():
+    """MXU precision of the packet kernel's bulk triangle-eval matmuls
+    (LUPIN_PACKET_EV_PREC = highest | high | default). HIGHEST (f32-exact,
+    6 bf16 passes) is the default; HIGH (bf16_3x, ~1e-6 relative) halves
+    the MXU cost of the dominant ev() phase — a measurement knob until the
+    goldens prove it safe. The winner RECOMPUTE (pick()) always runs
+    HIGHEST: final u/v/det stay exact either way."""
+
+    import os
+
+    return {
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }.get(os.environ.get("LUPIN_PACKET_EV_PREC", ""), jax.lax.Precision.HIGHEST)
+
+
 def env_on(name: str) -> bool:
     """Boolean env knob: set and not "0"/"" (so VAR=0 means OFF — plain
     truthiness made LUPIN_SKIP_PROBE=0 skip the correctness probe)."""
@@ -297,7 +313,7 @@ def probe_scene(scene) -> bool:
 def _packet_kernel(
     geo_ref, refs_ref, sub_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
     rdz_ref, act_ref, W_ref, *rest,
-    SP, NSUB, PBK, AWOUT, TWO_LEVEL, TL_STREAM, interpret,
+    SP, NSUB, PBK, AWOUT, TWO_LEVEL, TL_STREAM, EV_PREC, interpret,
 ):
     # Optional phases reshape the tail of the signature:
     #   two-level SMEM mode: + gmsl/ginst/txf SMEM inputs (before A/eps)
@@ -473,7 +489,7 @@ def _packet_kernel(
                 def ev(f):
                     return jax.lax.dot_general(
                         wv_ref[buf, f, :, pl.ds(lo, SPB)], RTl, dims_t,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=EV_PREC,
                         preferred_element_type=jnp.float32,
                     )  # (SPB, PBK)
 
@@ -783,7 +799,7 @@ def _attr_phase(A_ref, av_ref, ia_ref, sem_ref, bt, bu, bv, bi,
 
 def packet_traverse(
     scene, ro: V3, rd: V3, eps, W4, *, PBK=256, active=None,
-    with_attrs=False,
+    with_attrs=False, ev_prec=None,
 ):
     """Closest hit over all rays via per-block packet traversal.
 
@@ -884,7 +900,9 @@ def packet_traverse(
         functools.partial(
             _packet_kernel, SP=SP, NSUB=int(scene.sl_sub.shape[1]),
             PBK=PBK, AWOUT=AWOUT, TWO_LEVEL=bool(scene.two_level),
-            TL_STREAM=TL_STREAM, interpret=interpret,
+            TL_STREAM=TL_STREAM,
+            EV_PREC=ev_prec if ev_prec is not None else _ev_precision(),
+            interpret=interpret,
         ),
         grid=(n_blk,),
         in_specs=[

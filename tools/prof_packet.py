@@ -123,7 +123,7 @@ def run_configs(tpu, tag):
     t_sort, h_sort = timeit(f"[{tag}] sort backend, camera rays", f_sort, tpu, ro, rd)
     del os.environ["LUPIN_NO_PACKET"]
 
-    for PBK in (256, 1024):
+    for PBK in (128, 256):
         f_p = jax.jit(lambda s, ro, rd, w, PBK=PBK: pkt.packet_traverse(
             s, ro, rd, 1e-3, w, PBK=PBK))
         try:
@@ -139,6 +139,23 @@ def run_configs(tpu, tag):
         except Exception as e:
             print(f"    packet PBK={PBK} FAILED: {type(e).__name__}: {e}",
                   flush=True)
+
+    # MXU-precision A/B on the dominant ev() phase (bf16_3x vs f32-exact).
+    f_ph = jax.jit(lambda s, ro, rd, w: pkt.packet_traverse(
+        s, ro, rd, 1e-3, w, PBK=256, ev_prec=jax.lax.Precision.HIGH))
+    try:
+        _, outh = timeit(
+            f"[{tag}] packet PBK=256 tiled, ev_prec=HIGH", f_ph, tpu, rot,
+            rdt, W4)
+        # Tiled lane l covers pixel tile_order(16)[l]: permute the sort
+        # reference into the same lane order before comparing.
+        agree = float(jnp.mean(
+            ((outh[0] < 3e38) == h_sort.hit[tile_order(16)]).astype(
+                jnp.float32)))
+        print(f"    hit agreement vs sort: {agree:.6f}", flush=True)
+    except Exception as e:
+        print(f"    packet ev_prec=HIGH FAILED: {type(e).__name__}: {e}",
+              flush=True)
 
     # Secondary (diffuse bounce) rays — the divergence stress test.
     f_b = jax.jit(lambda s, ro, rd, st: bounce_rays(s, ro, rd, st))
