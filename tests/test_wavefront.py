@@ -471,3 +471,39 @@ def test_superleaf_nsub_keeps_lane_alignment():
     assert tpu.sl_stride == 1152
     nsub = int(tpu.sl_sub.shape[1])
     assert (1152 // nsub) % 128 == 0 and 1152 % nsub == 0
+
+
+def test_packet_ray_sort_matches(rng):
+    """LUPIN_PACKET_RAYSORT traverses in coherence order and un-sorts the
+    results — per-ray outputs must match the unsorted kernel (up to
+    exact-t ties, compared via t not tri)."""
+
+    from lupinpathtracer_tpu.kernels import pallas_packet as pkt
+
+    scene = _tri_sphere_scene()
+    tpu = build_scene_tpu(scene, dense_max_tris=64)
+    ro, rd = _random_rays(rng, 512)
+    W = intersect.scene_tri_matrix(tpu)
+    res0 = pkt.packet_traverse(tpu, ro, rd, 1e-4, W, ray_sort=False)
+    res1 = pkt.packet_traverse(tpu, ro, rd, 1e-4, W, ray_sort=True)
+    np.testing.assert_array_equal(np.asarray(res1[0]), np.asarray(res0[0]))
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(
+            np.asarray(res1[i]), np.asarray(res0[i]), rtol=1e-6, atol=1e-7
+        )
+    # Active-masked + sorted: inactive lanes report miss, actives match.
+    act = jnp.asarray(rng.uniform(size=512) > 0.3)
+    r0a = pkt.packet_traverse(tpu, ro, rd, 1e-4, W, active=act,
+                              ray_sort=False)
+    r1a = pkt.packet_traverse(tpu, ro, rd, 1e-4, W, active=act,
+                              ray_sort=True)
+    np.testing.assert_array_equal(np.asarray(r1a[0]), np.asarray(r0a[0]))
+    # Fused-attrs variant through the row-chunked un-sort.
+    ra0 = pkt.packet_traverse(tpu, ro, rd, 1e-4, W, with_attrs=True,
+                              ray_sort=False)
+    ra1 = pkt.packet_traverse(tpu, ro, rd, 1e-4, W, with_attrs=True,
+                              ray_sort=True)
+    np.testing.assert_array_equal(np.asarray(ra1[0]), np.asarray(ra0[0]))
+    np.testing.assert_allclose(
+        np.asarray(ra1[5]), np.asarray(ra0[5]), rtol=1e-6, atol=1e-7
+    )
