@@ -191,7 +191,7 @@ def main():
         if over_budget("arealights1"):
             raise TimeoutError("bench budget")
         bvh_metric = bench_bvh_scene(ab_backends=True)
-        if bvh_metric.get("ab_winner") == "sort-wavefront":
+        if bvh_metric.get("ab_winner") in ("sort", "sort-wavefront"):
             os.environ["LUPIN_NO_PACKET"] = "1"
             print("# A/B: sort backend won arealights1; LUPIN_NO_PACKET=1 "
                   "for the remaining configs", file=sys.stderr)
@@ -381,31 +381,51 @@ def bench_bvh_scene(
         "backend": bk,
     }
     if ab_backends and bk.startswith("packet"):
-        # Time the sort wavefront on the same workload. The jit cache
-        # doesn't key on the backend-choice env var, so it must be
-        # cleared for the retrace to actually flip (and again after, so
+        # Three-way A/B: packet (as-is), packet + coherence ray sort
+        # (LUPIN_PACKET_RAYSORT — bounce batches measured ~2x divergence
+        # without it, prof_packet 2026-08-19), sort wavefront. The jit
+        # cache doesn't key on the backend-choice env vars, so it must be
+        # cleared for each retrace to actually flip (and again after, so
         # later same-signature dispatches re-trace under the final env).
         from lupinpathtracer_tpu.render.renderer import (
             _render_pathtrace as _rp,
         )
 
-        old = os.environ.get("LUPIN_NO_PACKET")
-        os.environ["LUPIN_NO_PACKET"] = "1"
-        _rp.clear_cache()
-        try:
-            mrays_s, bk_s = _timed("sort")
-        finally:
-            if old is None:
-                os.environ.pop("LUPIN_NO_PACKET", None)
-            else:
-                os.environ["LUPIN_NO_PACKET"] = old
+        def _timed_env(tag, **env):
+            olds = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
             _rp.clear_cache()
+            try:
+                return _timed(tag)
+            finally:
+                for k, v in olds.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+                _rp.clear_cache()
+
+        legs = [("packet", mrays, bk)]
+        try:
+            m_rs, _ = _timed_env("packet+raysort", LUPIN_PACKET_RAYSORT="1")
+            legs.append(("packet+raysort", m_rs, bk + "+raysort"))
+            rec["ab_packet_raysort"] = round(m_rs, 2)
+        except Exception as e:
+            print(f"# raysort leg failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        m_s, bk_s = _timed_env("sort", LUPIN_NO_PACKET="1")
+        legs.append(("sort", m_s, bk_s))
         rec["ab_packet"] = round(mrays, 2)
-        rec["ab_sort"] = round(mrays_s, 2)
-        if mrays_s > mrays:
-            rec["value"] = round(mrays_s, 2)
-            rec["backend"] = bk_s
-        rec["ab_winner"] = rec["backend"]
+        rec["ab_sort"] = round(m_s, 2)
+        win = max(legs, key=lambda x: x[1])
+        rec["value"] = round(win[1], 2)
+        rec["backend"] = win[2]
+        rec["ab_winner"] = win[0]
+        if win[0] == "packet+raysort":
+            os.environ["LUPIN_PACKET_RAYSORT"] = "1"
+            _rp.clear_cache()
+            print("# A/B: packet+raysort won; LUPIN_PACKET_RAYSORT=1 for "
+                  "the remaining configs", file=sys.stderr)
     return rec
 
 

@@ -102,5 +102,12 @@ def test_bench_ab_backends_reports_both():
         ab_backends=True,
     )
     assert "ab_packet" in rec and "ab_sort" in rec
-    assert rec["ab_winner"] == rec["backend"]
-    assert rec["value"] == max(rec["ab_packet"], rec["ab_sort"])
+    legs = {
+        "packet": rec["ab_packet"],
+        "sort": rec["ab_sort"],
+    }
+    if "ab_packet_raysort" in rec:
+        legs["packet+raysort"] = rec["ab_packet_raysort"]
+    assert rec["ab_winner"] in legs
+    assert rec["value"] == max(legs.values())
+    assert rec["value"] == legs[rec["ab_winner"]]

@@ -35,13 +35,16 @@ step() {
 
 G="python -m lupinpathtracer_tpu.apps.golden_test"
 
-step prof_packet timeout 3000 python tools/prof_packet.py
-
+# bench FIRST: BENCH_r04's numbers are the round's central deliverable
+# and the tunnel flaps — harvest the highest-value artifact before the
+# longer profiling/golden steps.
 step bench env LUPIN_BENCH_BUDGET_S=3300 timeout 3900 python bench.py
 
 for s in materials2 materials3 materials4 materials5; do
   step "eps_${s}" timeout 5400 $G --scene "$s" --scale 0.25 --samples 64
 done
+
+step prof_packet timeout 3000 python tools/prof_packet.py
 
 step prof_stream timeout 3000 python tools/prof_stream.py
 
