@@ -176,10 +176,75 @@ def run_configs(tpu, tag):
     del os.environ["LUPIN_NO_PACKET"]
 
 
+def run_fullpath_decomposition(tpu, tag):
+    """Where does the packet full path lose its 2x traversal win?
+
+    bench 2026-08-19: packet full path 5.42s vs sort 2.69s on arealights1
+    even though packet wins camera-ray traversal 21 vs 44 ms. The
+    integrator issues ONE 3-slot trace per bounce (continuation + NEE +
+    dying-lane rays, ~B inactive of 3B) and, on two-level scenes, fetches
+    attrs via the sort-based wavefront_fetch_attrs EVEN on the packet
+    backend. This section times those pieces in the integrator's actual
+    shapes so the fix is measured, not guessed."""
+
+    import os
+
+    need = tpu.msl_count * tpu.sl_stride
+    W4 = isx.build_tri_matrix(
+        tpu.wt_v0[:, :need], tpu.wt_e1[:, :need], tpu.wt_e2[:, :need])
+    state2, rot, rdt = jax.jit(lambda o: make_rays(o))(tile_order(16))
+    _ = float(jnp.sum(rot.x))
+    f_b = jax.jit(lambda s, ro, rd, st: bounce_rays(s, ro, rd, st))
+    eo, ed, hitm = f_b(tpu, rot, rdt, state2)
+    _ = float(jnp.sum(eo.x))
+    B = W * H
+
+    # The integrator's 3-slot bounce batch: slot A = bounce rays (alive),
+    # slot B = NEE rays from the hit points toward the scene's light pool
+    # (active on hit lanes), slot C = mostly dead (RR-killed strategy
+    # rays; ~10% active is generous).
+    lx, ly, lz = 0.0, 1.6, 0.0  # arealights1 lights sit above the scene
+    ldx = v3.normalize(v3.V3(lx - eo.x, ly - eo.y, lz - eo.z))
+    actC = (jnp.arange(B) % 10) == 0
+    ro3 = v3.V3(jnp.concatenate([eo.x] * 3), jnp.concatenate([eo.y] * 3),
+                jnp.concatenate([eo.z] * 3))
+    rd3 = v3.V3(jnp.concatenate([ed.x, ldx.x, ed.x]),
+                jnp.concatenate([ed.y, ldx.y, ed.y]),
+                jnp.concatenate([ed.z, ldx.z, ed.z]))
+    act3 = jnp.concatenate([hitm, hitm, actC & hitm])
+
+    f_p3 = jax.jit(lambda s, ro, rd, w, a: pkt.packet_traverse(
+        s, ro, rd, 1e-3, w, PBK=256, active=a, ray_sort=False))
+    f_p3s = jax.jit(lambda s, ro, rd, w, a: pkt.packet_traverse(
+        s, ro, rd, 1e-3, w, PBK=256, active=a, ray_sort=True))
+    try:
+        timeit(f"[{tag}] packet 3-slot bounce batch (no sort)", f_p3, tpu,
+               ro3, rd3, W4, act3)
+        timeit(f"[{tag}] packet 3-slot bounce batch (raysort)", f_p3s, tpu,
+               ro3, rd3, W4, act3)
+    except Exception as e:
+        print(f"    packet 3-slot FAILED: {type(e).__name__}: {e}",
+              flush=True)
+    os.environ["LUPIN_NO_PACKET"] = "1"
+    f_s3 = jax.jit(lambda s, ro, rd, a: isx.closest_hit_wavefront(
+        s, ro, rd, 1e-3, active=a))
+    t_s3, h3 = timeit(f"[{tag}] sort 3-slot bounce batch", f_s3, tpu,
+                      ro3, rd3, act3)
+    # The attr fetch the packet path ALSO pays on two-level scenes
+    # (closest_hit_attrs falls back to wavefront_fetch_attrs there).
+    f_at = jax.jit(lambda s, h: isx.wavefront_fetch_attrs(s, h))
+    try:
+        timeit(f"[{tag}] wavefront_fetch_attrs (3-slot hits)", f_at, tpu, h3)
+    except Exception as e:
+        print(f"    fetch_attrs FAILED: {type(e).__name__}: {e}", flush=True)
+    del os.environ["LUPIN_NO_PACKET"]
+
+
 print("=== stride default (1024) ===", flush=True)
 tpu = build_scene_tpu(scene)
 print(f"n_sl={tpu.sl_count} stride={tpu.sl_stride} depth={tpu.top_depth}",
       flush=True)
+run_fullpath_decomposition(tpu, "s1024")
 run_configs(tpu, "s1024")
 
 print("=== stride 256 ===", flush=True)
