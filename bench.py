@@ -65,7 +65,11 @@ def _traversal_backend(scene):
         return "sort-wavefront"
     if scene.two_level and not smem_tables_fit(scene):
         return "packet-stream"
-    return "packet"
+    from lupinpathtracer_tpu.kernels.pallas_packet import env_on
+
+    # A persisted raysort win flips later configs' actual traversal —
+    # the label must say so (ADVICE r4 #3).
+    return "packet+raysort" if env_on("LUPIN_PACKET_RAYSORT") else "packet"
 
 
 def main():
@@ -190,7 +194,7 @@ def main():
     try:
         if over_budget("arealights1"):
             raise TimeoutError("bench budget")
-        bvh_metric = bench_bvh_scene(ab_backends=True)
+        bvh_metric = bench_bvh_scene(ab_backends=True, persist_winner=True)
         if bvh_metric.get("ab_winner") in ("sort", "sort-wavefront"):
             os.environ["LUPIN_NO_PACKET"] = "1"
             print("# A/B: sort backend won arealights1; LUPIN_NO_PACKET=1 "
@@ -284,6 +288,7 @@ def bench_bvh_scene(
     H=256,
     SPP=8,
     ab_backends=False,
+    persist_winner=False,
 ):
     """A corpus scene through the wavefront BVH path: full paths
     (intersect + shade + NEE), honest traced-segment count.
@@ -292,7 +297,10 @@ def bench_bvh_scene(
     — used for the synthetic envelope configs that have no JSON asset.
     `ab_backends` times the render on BOTH traversal backends (default,
     then LUPIN_NO_PACKET=1 with the jit caches cleared so the retrace
-    actually flips) and reports the winner."""
+    actually flips) and reports the winner. `persist_winner` additionally
+    leaves the winning backend's env knob set process-wide so LATER
+    configs ride it — only main() passes it (ADVICE r4 #1: a timing-noise
+    win under pytest must not leak env into unrelated tests)."""
 
     import jax
     import jax.numpy as jnp
@@ -421,7 +429,7 @@ def bench_bvh_scene(
         rec["value"] = round(win[1], 2)
         rec["backend"] = win[2]
         rec["ab_winner"] = win[0]
-        if win[0] == "packet+raysort":
+        if win[0] == "packet+raysort" and persist_winner:
             os.environ["LUPIN_PACKET_RAYSORT"] = "1"
             _rp.clear_cache()
             print("# A/B: packet+raysort won; LUPIN_PACKET_RAYSORT=1 for "

@@ -52,6 +52,9 @@ F32_MAX = 3.4028235e38
 # Row-chunk bound for the top kernel's one-hot node fetch: (chunk, RB) bf16
 # intermediates stay ~4 MB at RB=2048 (see _top_kernel.fetch_rows).
 _FETCH_CHUNK = 1024
+# Bin-chunk bound for the in-kernel demand histogram: (chunk, RB) i32
+# compare intermediates stay ~8 MB (see _top_kernel's histogram).
+_HIST_CHUNK = 1024
 
 
 # ---------------------------------------------------------------------------
@@ -254,13 +257,22 @@ def _top_kernel(
         # Per-block superleaf-demand histogram: replaces the caller's
         # O(QB log QB) searchsorted over the sorted keys (measured 9-16 ms
         # per round at QB=1M) with ~1 ms of VPU compares. hist[s] =
-        # #(out == s); empties (-1) fall outside [0, NSLP).
-        bins = jax.lax.broadcasted_iota(jnp.int32, (NSLP, RB), 0)
-        hist = jnp.zeros((NSLP,), jnp.int32)
-        for q in range(Q):
-            hist = hist + jnp.sum(
-                (bins == out[q][None, :]).astype(jnp.int32), axis=1
-            )
+        # #(out == s); empties (-1) fall outside [0, NSLP). Bins are
+        # chunked so the (chunk, RB) compare intermediate stays ~8 MB —
+        # this is what lets the cap sit at 4096 bins instead of 1024
+        # (terrain-class scenes have ~3k superleaves and were eating the
+        # searchsorted fallback, prof_stride 2026-08-19).
+        parts = []
+        for c0 in range(0, NSLP, _HIST_CHUNK):
+            ch = min(_HIST_CHUNK, NSLP - c0)
+            bins = c0 + jax.lax.broadcasted_iota(jnp.int32, (ch, RB), 0)
+            h = jnp.zeros((ch,), jnp.int32)
+            for q in range(Q):
+                h = h + jnp.sum(
+                    (bins == out[q][None, :]).astype(jnp.int32), axis=1
+                )
+            parts.append(h)
+        hist = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         hist_ref[0] = hist.reshape(hist_ref.shape[1:])
     aabb_ref[0] = aabb.reshape(aabb_ref.shape[1:])
 
@@ -280,14 +292,15 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
     assert Bp % RB == 0, (Bp, RB)
     n_rb = Bp // RB
     sub = RB // 128
-    # In-kernel histogram only while the (NSLP, RB) compare intermediates
-    # stay inside the VMEM budget; beyond that cnt_sl is returned as None
-    # and _wf_work_items falls back to its searchsorted path (ADVICE r3 #1
-    # — 70k-instance scenes were uncompilable on TPU at ~573 MB). The cap
-    # sits at 1024 bins (~8 MB transient at RB=2048), NOT at the full
-    # ~16 MB budget: the kernel's stack/sl/aabb blocks live in VMEM too,
-    # and a 2048-bin gate compiles right at the oversubscription cliff.
-    with_hist = n_sl <= 1024
+    # In-kernel histogram only while its VPU cost (Q x n_sl x RB compares
+    # per block) beats the caller's searchsorted fallback (measured 9-16 ms
+    # per round at QB=1M); the (chunk, RB) compare intermediates are bin-
+    # chunked (_HIST_CHUNK) so VMEM no longer bounds the bin count (the old
+    # unchunked form OOM'd ~573 MB at 70k instance-superleaves, ADVICE r3
+    # #1, and the 1024 gate it forced sent terrain-class scenes with ~3k
+    # superleaves to the slow fallback). 4096 bins ~= 4.3G compares per
+    # round at RB=2048/Q=8 — ~2 ms, still well under the fallback.
+    with_hist = n_sl <= 4096
     NSLP = max(-(-n_sl // 128) * 128, 128) if with_hist else 0
     sub_h = NSLP // 128
 
@@ -493,10 +506,15 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
         wdet = jnp.sum(pick_rows(0) * RT, axis=0)
         wnu = jnp.sum(pick_rows(1) * RT, axis=0)
         wnv = jnp.sum(pick_rows(2) * RT, axis=0)
+        wnt = jnp.sum(pick_rows(3) * RT, axis=0)
         wd = 1.0 / wdet
         bu = wnu * wd
         bv = wnv * wd
         bdet = wdet
+        # Candidate selection ran at 3-pass precision; the reported hit
+        # distance is the exact f32 t OF the selected triangle (same
+        # convention as pallas_packet._isect_core). Misses keep F32_MAX.
+        bt = jnp.where(bt < F32_MAX, wnt * wd, bt)
 
         # Blend only the lanes whose sorted position belongs to this work
         # item's superleaf segment; other lanes keep the value written by

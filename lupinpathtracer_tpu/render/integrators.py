@@ -53,6 +53,7 @@ from .materials import (
     compute_shading_normal,
     get_emission,
     get_material_point,
+    get_opacity,
     is_mat_delta,
     is_mat_volumetric,
 )
@@ -99,9 +100,9 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask, active=None):
         return hit, attrs, state
 
     has_attrs = attrs is not None
-    mp = get_material_point(scene, hit, attrs)
+    op = get_opacity(scene, hit, attrs)
     state, r0 = rng_mod.next_f32(state)
-    recast0 = mask & hit.hit & (mp.opacity < 1.0) & (r0 >= mp.opacity)
+    recast0 = mask & hit.hit & (op < 1.0) & (r0 >= op)
 
     def cond(c):
         return jnp.any(c["recast"]) & (c["i"] < MAX_OPACITY_BOUNCES - 1)
@@ -124,9 +125,9 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask, active=None):
         else:
             at = c["attrs"]
         dst_acc = jnp.where(recast, c["dst_acc"] + nh.dst, c["dst_acc"])
-        mp2 = get_material_point(scene, h, at if has_attrs else None)
+        op2 = get_opacity(scene, h, at if has_attrs else None)
         state2, r = rng_mod.next_f32(c["state"])
-        pass_through = (mp2.opacity < 1.0) & (r >= mp2.opacity)
+        pass_through = (op2 < 1.0) & (r >= op2)
         recast2 = recast & h.hit & pass_through
         ro_new = tuple(
             jnp.where(recast2, o + d * nh.dst, o)

@@ -260,6 +260,55 @@ def get_material_point(scene, hit, attrs=None) -> MaterialPoint:
     )
 
 
+def get_opacity(scene, hit, attrs=None) -> jnp.ndarray:
+    """Opacity of a hit only — bit-identical to
+    get_material_point(...).opacity (color-texture alpha x material
+    color.w x vertex alpha, pathtracer.wgsl:1285-1316) without evaluating
+    the other fields. The stochastic alpha skip tests nothing else, and on
+    textured scenes the full material fetch costs ~4 texture slots x 4
+    corner gathers per lane PER OPACITY RE-CAST over the 3-slot batch —
+    this keeps it to the one slot the test reads."""
+
+    B = hit.u.shape[0]
+    if isinstance(attrs, InterpAttrs):
+        base_alpha = _sel_by_id(
+            scene.mat_color[3], attrs.mat_id, scene.num_materials
+        )
+        tex0 = _sel_by_id(scene.mat_tex[0], attrs.mat_id, scene.num_materials)
+        vert_a = attrs.vca if scene.any_vert_colors else jnp.ones(B, jnp.float32)
+    elif attrs is not None:
+        base_alpha = attrs[pk.ATTR_MAT_COLOR.start + 3]
+        tex0 = attrs[pk.ATTR_MAT_TEX.start].astype(jnp.int32)
+        if scene.any_vert_colors:
+            a0 = attrs[pk.ATTR_C0.start + 3]
+            a1 = attrs[pk.ATTR_C1.start + 3]
+            a2 = attrs[pk.ATTR_C2.start + 3]
+            vert_a = _interp(a0, a1, a2, hit.u, hit.v)
+        else:
+            vert_a = jnp.ones(B, jnp.float32)
+    else:
+        mat = scene.wt_mat[hit.tri]
+        base_alpha = scene.mat_color[3][mat]
+        tex0 = scene.mat_tex[0][mat]
+        if scene.any_vert_colors:
+            t = hit.tri
+            vert_a = _interp(
+                scene.wt_c0[3][t], scene.wt_c1[3][t], scene.wt_c2[3][t],
+                hit.u, hit.v,
+            )
+        else:
+            vert_a = jnp.ones(B, jnp.float32)
+
+    use_tex = scene.num_textures > 0 and scene.any_uv
+    if use_tex and scene.tex_slot_used[0]:
+        u, v, has_uv = hit_texcoords(scene, hit, attrs)
+        ti = jnp.where(has_uv, tex0, -1)
+        _, color_a = sample_texture(scene, ti, u, v, packed=True)
+    else:
+        color_a = jnp.ones(B, jnp.float32)
+    return color_a * base_alpha * vert_a
+
+
 def get_emission(scene, hit, attrs=None) -> V3:
     """Emission of a hit only — bit-identical to
     get_material_point(...).emission (emission texture x material emission,

@@ -170,9 +170,11 @@ def test_packet_matches_stack_walk(n_rays, rng):
     hit = np.asarray(t) < intersect.F32_MAX
     np.testing.assert_array_equal(hit, np.asarray(ref.hit))
     h = np.asarray(ref.hit)
-    # All-f32 math (HIGHEST dots): tighter than the bf16 hi/lo sort path.
+    # Candidate selection runs at bf16 hi/lo 3-pass precision (the winner's
+    # stored t/u/v/det are exact f32, but a ~2^-16 near-tie may pick the
+    # other triangle) — same tolerance class as the sort path.
     np.testing.assert_allclose(
-        np.asarray(t)[h], np.asarray(ref.dst)[h], rtol=1e-5, atol=1e-6
+        np.asarray(t)[h], np.asarray(ref.dst)[h], rtol=5e-4, atol=1e-5
     )
     same = (np.asarray(tri) == np.asarray(ref.tri))[h]
     assert same.mean() > 0.95  # shared-edge ties may pick either triangle

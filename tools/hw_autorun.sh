@@ -5,13 +5,16 @@
 # and commits immediately, so a tunnel flap or session death mid-pipeline
 # can never erase the evidence gathered so far (the round-3 failure mode).
 #
-# Steps, in evidence-priority order:
-#   1. prof_packet  — packet vs sort traversal timings + hit agreement
-#   2. bench.py     — the driver's metric set (A/B + 5 configs)
-#   3. materials2-5 — 64 spp 1/4-scale epsilon-gate (golden rows w/o evidence)
-#   4. full-workload goldens — furnace1/arealights1/instances1/environments1
-#                     at full res / 1000 samples with --ckpt resume
+# Steps, in evidence-priority order (ADVICE r4 #4: keep in sync with the
+# step calls below):
+#   1. bench.py     — the driver's metric set (A/B + 5 configs)
+#   2. materials2-5 — 64 spp 1/4-scale epsilon-gate (golden rows w/o evidence)
+#   3. prof_packet  — packet vs sort traversal timings + hit agreement
+#   4. prof_stream  — TL_STREAM mode timings
 #   5. terrain2M    — scale-envelope sanity render (committed .hdr)
+#   6. full-workload goldens — furnace1/arealights1/instances1/environments1
+#                     at full res / 1000 samples with --ckpt resume,
+#                     3 bounded passes so one scene can't starve the queue
 set -u
 cd /root/repo
 mkdir -p out_hw

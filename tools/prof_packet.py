@@ -140,22 +140,9 @@ def run_configs(tpu, tag):
             print(f"    packet PBK={PBK} FAILED: {type(e).__name__}: {e}",
                   flush=True)
 
-    # MXU-precision A/B on the dominant ev() phase (bf16_3x vs f32-exact).
-    f_ph = jax.jit(lambda s, ro, rd, w: pkt.packet_traverse(
-        s, ro, rd, 1e-3, w, PBK=256, ev_prec=jax.lax.Precision.HIGH))
-    try:
-        _, outh = timeit(
-            f"[{tag}] packet PBK=256 tiled, ev_prec=HIGH", f_ph, tpu, rot,
-            rdt, W4)
-        # Tiled lane l covers pixel tile_order(16)[l]: permute the sort
-        # reference into the same lane order before comparing.
-        agree = float(jnp.mean(
-            ((outh[0] < 3e38) == h_sort.hit[tile_order(16)]).astype(
-                jnp.float32)))
-        print(f"    hit agreement vs sort: {agree:.6f}", flush=True)
-    except Exception as e:
-        print(f"    packet ev_prec=HIGH FAILED: {type(e).__name__}: {e}",
-              flush=True)
+    # (The LUPIN_PACKET_EV_PREC knob and its A/B leg are gone: Mosaic
+    # never lowered Precision.HIGH; the kernel now hand-rolls the bf16
+    # hi/lo 3-pass product unconditionally — VERDICT r4 weak #7.)
 
     # Secondary (diffuse bounce) rays — the divergence stress test.
     f_b = jax.jit(lambda s, ro, rd, st: bounce_rays(s, ro, rd, st))
@@ -225,19 +212,28 @@ def run_fullpath_decomposition(tpu, tag):
     except Exception as e:
         print(f"    packet 3-slot FAILED: {type(e).__name__}: {e}",
               flush=True)
+    # try/finally: a tunnel flap in the sort leg must not leak
+    # LUPIN_NO_PACKET into later sections, nor abort run_configs
+    # (ADVICE r4 #2).
     os.environ["LUPIN_NO_PACKET"] = "1"
-    f_s3 = jax.jit(lambda s, ro, rd, a: isx.closest_hit_wavefront(
-        s, ro, rd, 1e-3, active=a))
-    t_s3, h3 = timeit(f"[{tag}] sort 3-slot bounce batch", f_s3, tpu,
-                      ro3, rd3, act3)
-    # The attr fetch the packet path ALSO pays on two-level scenes
-    # (closest_hit_attrs falls back to wavefront_fetch_attrs there).
-    f_at = jax.jit(lambda s, h: isx.wavefront_fetch_attrs(s, h))
     try:
-        timeit(f"[{tag}] wavefront_fetch_attrs (3-slot hits)", f_at, tpu, h3)
+        f_s3 = jax.jit(lambda s, ro, rd, a: isx.closest_hit_wavefront(
+            s, ro, rd, 1e-3, active=a))
+        t_s3, h3 = timeit(f"[{tag}] sort 3-slot bounce batch", f_s3, tpu,
+                          ro3, rd3, act3)
+        # The attr fetch the packet path ALSO pays on two-level scenes
+        # (closest_hit_attrs falls back to wavefront_fetch_attrs there).
+        f_at = jax.jit(lambda s, h: isx.wavefront_fetch_attrs(s, h))
+        try:
+            timeit(f"[{tag}] wavefront_fetch_attrs (3-slot hits)", f_at,
+                   tpu, h3)
+        except Exception as e:
+            print(f"    fetch_attrs FAILED: {type(e).__name__}: {e}",
+                  flush=True)
     except Exception as e:
-        print(f"    fetch_attrs FAILED: {type(e).__name__}: {e}", flush=True)
-    del os.environ["LUPIN_NO_PACKET"]
+        print(f"    sort 3-slot FAILED: {type(e).__name__}: {e}", flush=True)
+    finally:
+        del os.environ["LUPIN_NO_PACKET"]
 
 
 print("=== stride default (1024) ===", flush=True)
