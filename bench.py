@@ -68,8 +68,12 @@ def _traversal_backend(scene):
     from lupinpathtracer_tpu.kernels.pallas_packet import env_on
 
     # A persisted raysort win flips later configs' actual traversal —
-    # the label must say so (ADVICE r4 #3).
-    return "packet+raysort" if env_on("LUPIN_PACKET_RAYSORT") else "packet"
+    # the label must say so (ADVICE r4 #3). Since round 5 the default
+    # routing is hybrid: packet for coherent primary batches, sort
+    # wavefront for in-loop bounce batches (ROADMAP round-5 decision).
+    if env_on("LUPIN_PACKET_RAYSORT"):
+        return "hybrid-packet+raysort/sort"
+    return "hybrid-packet/sort"
 
 
 def main():

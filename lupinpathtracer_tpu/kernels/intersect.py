@@ -113,10 +113,20 @@ def packet_eligible(scene) -> bool:
     return True
 
 
-def _use_packet(scene) -> bool:
+def _use_packet(scene, coherent: bool = True) -> bool:
     from . import pallas_packet
 
     if pallas_packet.env_on("LUPIN_NO_PACKET"):
+        return False
+    # Packet is the COHERENT-batch specialist (VERDICT r4 #5, decided from
+    # the round-5 A/B): on camera-tiled batches it beats the sort wavefront
+    # (17.1 vs 20.9 ms / 131k rays, prof_opt 2026-08-19) but on divergent
+    # bounce batches it loses by ~7x (184-450 ms vs 25-31 ms, even with
+    # morton/prev-superleaf coherence sorting). Callers mark their in-loop
+    # bounce batches coherent=False; primary-visibility dispatches
+    # (camera prologue, falsecolor/debug AOVs) keep the packet path.
+    # LUPIN_FORCE_PACKET overrides for measurement.
+    if not coherent and not pallas_packet.env_on("LUPIN_FORCE_PACKET"):
         return False
     if not packet_eligible(scene):
         return False
@@ -526,7 +536,8 @@ INST_SMEM_MAX = 2048  # above this, per-instance tables no longer ride the
 
 
 def closest_hit_wavefront(
-    scene, ro: V3, rd: V3, eps, W=None, active=None, with_counts: bool = False
+    scene, ro: V3, rd: V3, eps, W=None, active=None,
+    with_counts: bool = False, coherent: bool = True,
 ):
     """TPU wavefront replacement for the masked-stack walk: rounds of
     {top-tree traversal -> MXU pair intersection -> per-ray min} until all
@@ -547,7 +558,7 @@ def closest_hit_wavefront(
     # of bounce loops.
     W = _wavefront_tri_matrix(scene, W)
 
-    if not with_counts and _use_packet(scene):
+    if not with_counts and _use_packet(scene, coherent):
         from . import pallas_packet
 
         t, u, v, det, tri = pallas_packet.packet_traverse(
@@ -1051,11 +1062,14 @@ def _fixup_backside(scene, h: HitInfo) -> HitInfo:
 
 
 def closest_hit(
-    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, active=None
+    scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, active=None,
+    coherent: bool = True,
 ) -> HitInfo:
     """ray_scene_intersection equivalent (bvh_custom.wgsl:7-110). `active`
     masks lanes out of the wavefront traversal (perf only — inactive lanes
-    report miss; other backends ignore it)."""
+    report miss; other backends ignore it). `coherent=False` marks a
+    divergent bounce batch: the packet backend is skipped (see
+    _use_packet)."""
 
     if scene.instances_empty:
         return miss(ro.x.shape)
@@ -1073,11 +1087,16 @@ def closest_hit(
             # Object-space intersection: hit_backside already carries the
             # reference's sign convention — no world-transform det fixup.
             return apply_active(
-                closest_hit_wavefront(scene, ro, rd, eps, W=W, active=active)
+                closest_hit_wavefront(
+                    scene, ro, rd, eps, W=W, active=active, coherent=coherent
+                )
             )
         if _use_pallas() and scene.sl_count > 0:
             return apply_active(_fixup_backside(
-                scene, closest_hit_wavefront(scene, ro, rd, eps, W=W, active=active)
+                scene,
+                closest_hit_wavefront(
+                    scene, ro, rd, eps, W=W, active=active, coherent=coherent
+                ),
             ))
         return apply_active(
             _fixup_backside(scene, closest_hit_bvh(scene, ro, rd, eps))
@@ -1155,29 +1174,34 @@ def _packet_hit_attrs(scene, ro: V3, rd: V3, eps, W=None, active=None):
 
 def closest_hit_attrs(
     scene, ro: V3, rd: V3, eps, W: jnp.ndarray | None = None, active=None,
+    coherent: bool = True,
 ):
     """Dense-mode closest hit returning (HitInfo, attrs (AW, B) or None).
 
     The attrs rows are fetched in-kernel (one-hot MXU select), eliminating
     all per-hit shading gathers. BVH scenes return attrs=None and shade via
     gathers. `active` masks lanes out of wavefront traversal (see
-    closest_hit)."""
+    closest_hit); `coherent=False` skips the packet backend (see
+    _use_packet)."""
 
     if scene.instances_empty:
         return closest_hit(scene, ro, rd, eps, W=W), None
     if scene.use_bvh and scene.two_level:
         # Mesh-space soup: the gather fallback has no world-space arrays,
         # so the wavefront attr kernel runs even in interpret mode.
-        h = closest_hit(scene, ro, rd, eps, W=W, active=active)
+        h = closest_hit(scene, ro, rd, eps, W=W, active=active,
+                        coherent=coherent)
         return h, wavefront_fetch_attrs(scene, h)
     if not _use_pallas():
-        return closest_hit(scene, ro, rd, eps, W=W, active=active), None
+        return closest_hit(scene, ro, rd, eps, W=W, active=active,
+                           coherent=coherent), None
     if scene.use_bvh:
         if scene.sl_count == 0:
             return closest_hit(scene, ro, rd, eps, W=W, active=active), None
-        if _use_packet(scene):
+        if _use_packet(scene, coherent):
             return _packet_hit_attrs(scene, ro, rd, eps, W=W, active=active)
-        h = closest_hit(scene, ro, rd, eps, W=W, active=active)
+        h = closest_hit(scene, ro, rd, eps, W=W, active=active,
+                        coherent=coherent)
         return h, wavefront_fetch_attrs(scene, h)
     from .pallas_intersect import ATTR_DET_SIGN, dense_closest_hit_attrs_pallas
 

@@ -86,15 +86,18 @@ def make_ctx(scene, eps):
 # in pathtrace_spp fills dead lanes instead.
 
 
-def ray_skip_alpha(scene, ctx, ro, rd, state, mask, active=None):
+def ray_skip_alpha(scene, ctx, ro, rd, state, mask, active=None,
+                   coherent=True):
     """ray_skip_alpha_stochastically (bvh_custom.wgsl:154-180): re-cast
     through lanes whose opacity test fails, accumulating distance. Gated by
     the static has_alpha flag — opaque scenes pay exactly one intersection.
     `active` masks lanes out of wavefront traversal entirely; `mask` gates
-    which hit lanes run the stochastic opacity re-cast."""
+    which hit lanes run the stochastic opacity re-cast; `coherent=False`
+    marks a divergent bounce batch (skips the packet backend)."""
 
     hit, attrs = intersect.closest_hit_attrs(
-        scene, ro, rd, ctx["eps"], W=ctx["W"], active=active
+        scene, ro, rd, ctx["eps"], W=ctx["W"], active=active,
+        coherent=coherent,
     )
     if not scene.has_alpha:
         return hit, attrs, state
@@ -109,7 +112,8 @@ def ray_skip_alpha(scene, ctx, ro, rd, state, mask, active=None):
 
     def body(c):
         nh, nat = intersect.closest_hit_attrs(
-            scene, V3(*c["ro"]), rd, ctx["eps"], W=ctx["W"], active=c["recast"]
+            scene, V3(*c["ro"]), rd, ctx["eps"], W=ctx["W"],
+            active=c["recast"], coherent=coherent,
         )
         recast = c["recast"]
         h = jax.tree.map(lambda a, b: jnp.where(recast, a, b), nh, c["hit"])
@@ -501,7 +505,8 @@ def _pathtrace_snd(scene, ctx, ro, rd, state, ptype, max_bounces, regen=None):
             active3 = active_a
             state3 = state_a
         hit3, attrs3, state3 = ray_skip_alpha(
-            scene, ctx, ro3, rd3, state3, mask3, active=active3
+            scene, ctx, ro3, rd3, state3, mask3, active=active3,
+            coherent=False,
         )
         state_a = state3[:B]
         hit_a = _slice_tree(hit3, 0, B)
@@ -806,7 +811,8 @@ def _pathtrace_mis(scene, ctx, ro, rd, state, max_bounces, regen=None):
         active3 = jnp.concatenate([active_a, active_b, active_c])
         state3 = jnp.concatenate([state_a, state_a, state_a])
         hit3, attrs3, state3 = ray_skip_alpha(
-            scene, ctx, ro3, rd3, state3, mask3, active=active3
+            scene, ctx, ro3, rd3, state3, mask3, active=active3,
+            coherent=False,
         )
         state_a = state3[:B]
         hit_a = _slice_tree(hit3, 0, B)
