@@ -392,7 +392,7 @@ def bench_bvh_scene(
         "unit": "Mrays/s/chip",
         "backend": bk,
     }
-    if ab_backends and bk.startswith("packet"):
+    if ab_backends and "packet" in bk:
         # Three-way A/B: packet (as-is), packet + coherence ray sort
         # (LUPIN_PACKET_RAYSORT — bounce batches measured ~2x divergence
         # without it, prof_packet 2026-08-19), sort wavefront. The jit

@@ -157,8 +157,18 @@ def build_scene_terrain(
     )
 
     # Spheres: tri budget ~2% of the terrain, at least a tiny one.
+    # EMISSIVE spheres use a separate low-poly mesh: every emissive
+    # triangle enters the light-pdf evaluation (lights.compute_instance_
+    # lights_pdf is O(B x light_tris) like the reference's per-light march,
+    # bvh_custom.wgsl:112-152), and r4's two 9216-tri emissive spheres put
+    # ~18k triangles into that product — the pdf brute force, not
+    # traversal, dominated the terrain bench (out_hw/terrain_render.log
+    # OOM; BENCH_r04 0.23 Mrays/s). Bistro-class scenes have few area
+    # lights; 2 x 144-tri emitters keep the MIS-over-mesh-lights exercise
+    # without making lighting the workload.
     sph_lat = max(4, min(48, int(np.sqrt(max(16, n_tris) * 0.02 / 8))))
     sphere = scene.add_mesh(_uv_sphere(sph_lat, 2 * sph_lat))
+    lo_sphere = scene.add_mesh(_uv_sphere(6, 12))
     heights = terrain.positions[:, 1]
     n_verts = terrain.positions.shape[0]
     for k in range(8):
@@ -166,8 +176,10 @@ def build_scene_terrain(
         base = terrain.positions[v]
         r = float(rng.uniform(0.25, 0.8)) * extent / 12.0
         at = [base[0], float(heights[v]) + r, base[2]]
+        emissive = k % len(mats) == 3
         scene.add_instance(
-            InstanceCPU(frame=_place(None, r, at), mesh_idx=sphere,
+            InstanceCPU(frame=_place(None, r, at),
+                        mesh_idx=lo_sphere if emissive else sphere,
                         mat_idx=mats[k % len(mats)])
         )
 

@@ -524,6 +524,10 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
 WF_Q = 8  # superleaf hits collected per ray per round (v5e sweep: Q=8 +
 # SP=1024 beat Q=4/SP=2048 by 11% on arealights1 — fewer rounds outweighs
 # the larger sort)
+WF_Q_DIVERGENT = 4  # divergent bounce batches: emissions per ray are
+# fewer and sorts dominate — Q=4 measured 26.7 vs Q=8's 30.7 ms on the
+# arealights1 bounce batch (prof_opt 2026-08-19); camera batches keep Q=8
+# (20.9 vs 22.8)
 WF_Q_TAIL = 32  # straggler rounds: few lanes x many remaining visits —
 # a high Q drains a deep ray's whole line in 1-2 rounds while the sort
 # stays small (QB_tail = C * Q_TAIL ~ Bp * 4 slots)
@@ -616,6 +620,8 @@ def closest_hit_wavefront(
 
     S = (TOP_FAN - 1) * scene.top_depth + TOP_FAN + 2
 
+    Q_main = WF_Q if coherent else WF_Q_DIVERGENT
+
     real_lane = jnp.arange(Bp) < B
     if active is not None:
         real_lane = real_lane & padv(active, False)
@@ -633,7 +639,7 @@ def closest_hit_wavefront(
         init["n_aabb"] = jnp.zeros(Bp, jnp.int32)
 
     def full_round(c):
-        return _wf_round(scene, W, eps, rop, rdp, c, S=S, PB=PB, Q=WF_Q)
+        return _wf_round(scene, W, eps, rop, rdp, c, S=S, PB=PB, Q=Q_main)
 
     # Stage 1: full-batch rounds while the straggler set is still large.
     # Stage 2: the few lanes with deep traversals (misses have no best-t to

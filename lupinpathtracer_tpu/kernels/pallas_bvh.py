@@ -288,6 +288,16 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
     aabb (Bp,) i32 — per-lane slab tests this round (debug counters))."""
 
     Bp = ro.x.shape[0]
+    rows_pad = tab.shape[0]
+    if rows_pad > 16384:
+        # Huge top trees (~100k instance-superleaves): the resident tab
+        # (TOP_COLS x rows bf16, ~5.4 MB at 33k rows) plus the (chunk, RB)
+        # one-hot fetch intermediates overflow the 16 MB scoped-VMEM stack
+        # at RB=2048 (observed 18.17M on the instanced_100k repro,
+        # out_hw/repro_inst.log). Halving the lane block halves every
+        # (x, RB) intermediate; the extra grid steps are noise next to the
+        # fetch matmuls at this tree size.
+        ray_block = min(ray_block, 1024)
     RB = min(ray_block, Bp)
     assert Bp % RB == 0, (Bp, RB)
     n_rb = Bp // RB

@@ -972,7 +972,9 @@ def packet_traverse(
         tl_in = [scene.gsl_meta]
         tl_in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
         scr_stream = [
-            pltpu.SMEM((4, 16), jnp.float32),
+            # 128-wide rows: lane-tile-aligned DMA extents (see
+            # flatten's gsl_meta padding note).
+            pltpu.SMEM((4, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
     elif scene.two_level:

@@ -233,32 +233,73 @@ def compute_instance_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):
         )
         return jnp.sum(contrib, axis=-1)
 
-    # Bound the (B, 4*Tl) all-pairs intermediate: large emissive meshes
-    # (the reference handles any size via its per-light march,
+    # Bound the all-pairs intermediate IN BOTH DIMENSIONS: large emissive
+    # meshes (the reference handles any size via its per-light march,
     # bvh_custom.wgsl:112-152) stream through fixed triangle chunks under
-    # lax.scan — exact sum, O(B x chunk) memory.
-    CH = 4096
+    # lax.scan, and large RAY batches stream through fixed ray chunks
+    # under lax.map — exact sum, O(RCH x CH) memory. (The r4 form chunked
+    # only triangles: its (B, 4, CH) block was a 34 GB allocation at
+    # 960x540 rays x 4096-tri chunks — out_hw/terrain_render.log OOM.)
+    CH = 512
+    RCH = 16384  # (RCH, 4, CH) f32 = 134 MB per step
     Tl = Wl.shape[2]
-    if Tl <= CH:
+    if Tl <= CH and B <= RCH:
         return block(Wl, nT, area)
-    pad = (-Tl) % CH
-    if pad:
+    tpad = (-Tl) % CH
+    if tpad:
         # Padded triangles are degenerate (zero coefficient rows -> det=0,
         # never valid); pad areas with 1 to keep the division benign.
-        Wl = jnp.pad(Wl, ((0, 0), (0, 0), (0, pad)))
-        nT = jnp.pad(nT, ((0, 0), (0, pad)))
-        area = jnp.pad(area, (0, pad), constant_values=1.0)
-    nch = (Tl + pad) // CH
-
-    def scan_body(acc, xs):
-        Wb, nb, ab = xs
-        return acc + block(Wb, nb, ab), None
-
+        Wl = jnp.pad(Wl, ((0, 0), (0, 0), (0, tpad)))
+        nT = jnp.pad(nT, ((0, 0), (0, tpad)))
+        area = jnp.pad(area, (0, tpad), constant_values=1.0)
+    nch = (Tl + tpad) // CH
     Wc = jnp.moveaxis(Wl.reshape(4, 10, nch, CH), 2, 0)
     nc = jnp.moveaxis(nT.reshape(3, nch, CH), 1, 0)
     ac = area.reshape(nch, CH)
-    out, _ = jax.lax.scan(scan_body, jnp.zeros(B, jnp.float32), (Wc, nc, ac))
-    return out
+
+    rch = min(RCH, B)
+    rpad = (-B) % rch
+    nrc = (B + rpad) // rch
+
+    def padr(x):
+        return jnp.pad(x, (0, rpad)) if rpad else x
+
+    rays = (
+        padr(pos.x).reshape(nrc, rch), padr(pos.y).reshape(nrc, rch),
+        padr(pos.z).reshape(nrc, rch),
+        padr(incoming.x).reshape(nrc, rch), padr(incoming.y).reshape(nrc, rch),
+        padr(incoming.z).reshape(nrc, rch),
+    )
+
+    def ray_chunk(rc):
+        px, py, pz, ix, iy, iz = rc
+        Rc = intersect.ray_features(V3(px, py, pz), V3(ix, iy, iz))
+
+        def block_c(Wb, nb, ab):
+            t, _, _, _ = intersect.dense_tuv(Rc, Wb, eps)
+            valid = t < intersect.F32_MAX
+            cos_theta = jnp.abs(
+                ix[:, None] * nb[0][None, :]
+                + iy[:, None] * nb[1][None, :]
+                + iz[:, None] * nb[2][None, :]
+            )
+            contrib = jnp.where(
+                valid, (t * t) / jnp.maximum(cos_theta * ab[None, :], 1e-20),
+                0.0,
+            )
+            return jnp.sum(contrib, axis=-1)
+
+        def scan_body(acc, xs):
+            Wb, nb, ab = xs
+            return acc + block_c(Wb, nb, ab), None
+
+        out, _ = jax.lax.scan(
+            scan_body, jnp.zeros(rch, jnp.float32), (Wc, nc, ac)
+        )
+        return out
+
+    out = jax.lax.map(ray_chunk, rays)
+    return out.reshape(-1)[:B]
 
 
 def sample_lights_pdf(scene, pos: V3, incoming: V3, eps, Wl=None):

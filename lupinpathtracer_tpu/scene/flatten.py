@@ -952,14 +952,19 @@ def build_scene_tpu(
     # envelope is not SMEM-bound (renderer.rs:317-319 allows 1M instances).
     # msl/inst ride as f32 (exact to 2^24 — matches the 3-factor child-ref
     # encoding's 16.7M cap).
+    # Rows are padded to the 128-lane tile: Mosaic only DMAs lane-tile-
+    # aligned extents along the minor dim, and the 16-wide row was the
+    # exact rejection TL_STREAM hit on v5e ("Slice shape along dimension 1
+    # must be aligned to tiling (128), but is 16" — out_hw/prof_stream.log,
+    # VERDICT r4 #2; same class as the WROWS coefficient padding).
     if two_level:
         inv12 = inst_inv.reshape(-1, 12)
-        gsl_meta = np.zeros((gsl_msl.shape[0], 16), np.float32)
+        gsl_meta = np.zeros((gsl_msl.shape[0], 128), np.float32)
         gsl_meta[:, 0] = gsl_msl
         gsl_meta[:, 1] = gsl_inst
         gsl_meta[:, 2:14] = inv12[gsl_inst]
     else:
-        gsl_meta = np.zeros((1, 16), np.float32)
+        gsl_meta = np.zeros((1, 128), np.float32)
 
     scene_tpu = SceneTPU(
         num_meshes=nm,

@@ -80,7 +80,8 @@ def test_bench_bvh_scene_end_to_end_tiny():
     assert rec["unit"] == "Mrays/s/chip"
     assert rec["value"] > 0
     assert rec["backend"] in (
-        "dense-mxu", "packet", "packet-stream", "sort-wavefront"
+        "dense-mxu", "packet", "packet-stream", "sort-wavefront",
+            "hybrid-packet/sort"
     )
 
 
