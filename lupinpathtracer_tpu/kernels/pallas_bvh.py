@@ -289,15 +289,19 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
 
     Bp = ro.x.shape[0]
     rows_pad = tab.shape[0]
+    vmem_limit = None
     if rows_pad > 16384:
         # Huge top trees (~100k instance-superleaves): the resident tab
         # (TOP_COLS x rows bf16, ~5.4 MB at 33k rows) plus the (chunk, RB)
-        # one-hot fetch intermediates overflow the 16 MB scoped-VMEM stack
-        # at RB=2048 (observed 18.17M on the instanced_100k repro,
-        # out_hw/repro_inst.log). Halving the lane block halves every
-        # (x, RB) intermediate; the extra grid steps are noise next to the
-        # fetch matmuls at this tree size.
+        # one-hot fetch intermediates overflow the DEFAULT 16 MB
+        # scoped-VMEM budget (observed 18.17M at RB=2048 and still 16.69M
+        # at RB=1024 on the instanced_100k repro, out_hw/repro_inst.log /
+        # r5_seq1.log — the resident tab is the irreducible term). v5e has
+        # 128 MB physical VMEM and the grid is sequential on one core, so
+        # raising the scoped budget is the correct fix; halve the lane
+        # block too to keep headroom for the compiler's own scratch.
         ray_block = min(ray_block, 1024)
+        vmem_limit = 64 * 1024 * 1024
     RB = min(ray_block, Bp)
     assert Bp % RB == 0, (Bp, RB)
     n_rb = Bp // RB
@@ -346,7 +350,8 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=jax.default_backend() != "tpu",
     )(

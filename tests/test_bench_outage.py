@@ -2,6 +2,7 @@
 failure must produce a parseable structured JSON record, and a flap that
 heals must succeed on retry — never a bare rc=1 traceback."""
 
+import pytest
 import json
 
 import bench
@@ -59,6 +60,7 @@ def test_traversal_backend_labels():
     )
 
 
+@pytest.mark.slow
 def test_bench_bvh_scene_end_to_end_tiny():
     """The shared config path of bench configs 2-5 (probe -> timed render ->
     metric dict with a backend label) must run end-to-end. Configs 4/5 were
@@ -85,6 +87,7 @@ def test_bench_bvh_scene_end_to_end_tiny():
     )
 
 
+@pytest.mark.slow
 def test_bench_ab_backends_reports_both():
     """ab_backends must time BOTH traversal backends, report both numbers,
     and pick the winner (the measurement-driven safety valve for the

@@ -175,6 +175,7 @@ def test_dispatch_failure_on_sort_backend_raises(bvh_scene, monkeypatch):
         renderer._dispatch_packet_safe(bvh_scene, fake_jitfn, jnp.zeros(4))
 
 
+@pytest.mark.slow
 def test_render_still_works_with_probe_disabled(rng):
     """End-to-end: a disabled packet signature renders via the sort
     backend and matches the packet render (CPU interpret parity)."""

@@ -86,6 +86,7 @@ def test_instanced_field_two_level_at_scale():
     assert st.two_level
 
 
+@pytest.mark.slow
 def test_packet_parity_at_terrain_stride():
     """Packet kernel at the terrain2M bench config's exact specialization
     (SP=4096, NSUB=8 — pick_stride chooses 4096 for ~2.9M padded tris;

@@ -151,6 +151,7 @@ def test_wavefront_single_superleaf(rng):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_rays", [500])  # non-multiple of the block size
 def test_packet_matches_stack_walk(n_rays, rng):
     """The sort-free packet backend (kernels/pallas_packet.py) must agree
@@ -200,6 +201,7 @@ def test_packet_matches_stack_walk(n_rays, rng):
     )
 
 
+@pytest.mark.slow
 def test_packet_fused_attrs_match_fetch(rng):
     """_packet_hit_attrs (traversal + in-kernel winner attr interpolation)
     must equal closest_hit_wavefront + wavefront_fetch_attrs."""
@@ -235,6 +237,7 @@ def test_packet_fused_attrs_match_fetch(rng):
     assert (np.asarray(ia.mat_id)[~hit] == 0).all()
 
 
+@pytest.mark.slow
 def test_packet_fused_attrs_tangent_rows(rng):
     """Normal-mapped scenes carry IA_TAN/IA_BIT through the fused attr
     phase — parity vs wavefront_fetch_attrs."""
@@ -475,6 +478,7 @@ def test_superleaf_nsub_keeps_lane_alignment():
     assert (1152 // nsub) % 128 == 0 and 1152 % nsub == 0
 
 
+@pytest.mark.slow
 def test_packet_ray_sort_matches(rng):
     """LUPIN_PACKET_RAYSORT traverses in coherence order and un-sorts the
     results — per-ray outputs must match the unsorted kernel (up to
