@@ -561,7 +561,11 @@ def _packet_kernel(
 
             @pl.when(pushed == 1)
             def _push(c2=c2, sp2=sp2):
-                stack_ref[sp2] = refs_ref[rref, c2]
+                # refs is FLAT (rows*TOP_FAN,): a 2-D (rows, 8) i32 SMEM
+                # operand is lane-padded 8 -> 128 (2.4 MB at 4736 rows,
+                # over the 1 MB SMEM — the TL_STREAM hardware failure,
+                # out_hw/r5_seq1.log); 1-D SMEM is not padded.
+                stack_ref[sp2] = refs_ref[rref * TOP_FAN + c2]
 
             sp2 = sp2 + pushed
         return is_leaf, ref, sp2
@@ -1035,7 +1039,7 @@ def packet_traverse(
         ),
         interpret=interpret,
     )(
-        geo, refs, scene.sl_sub,
+        geo, refs.reshape(-1), scene.sl_sub,
         shp(rox), shp(roy), shp(roz), shp(rdx), shp(rdy), shp(rdz),
         shp(act), W4, *tl_in, *attr_in,
         jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)),

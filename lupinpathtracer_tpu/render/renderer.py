@@ -21,6 +21,7 @@ Mapping of the reference's machinery onto JAX:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -329,24 +330,52 @@ def pathtrace_scene(
     _runtime_checks(scene, baked)
     scene = _select_backend(scene, desc)
     tile_wh, (tx, ty) = _tile_geometry(image.shape, desc)
-    return _dispatch_packet_safe(
-        scene,
-        _render_pathtrace,
-        image,
-        _camera_args(desc),
-        jnp.int32(tx),
-        jnp.int32(ty),
-        jnp.uint32(desc.accum_params.counter),
-        jnp.uint32(desc.advanced.rng_seed),
-        jnp.float32(desc.advanced.ray_epsilon),
-        jnp.float32(desc.advanced.max_radiance),
-        tile_wh=tile_wh,
-        spp=int(baked.samples_per_pixel),
-        max_bounces=int(baked.max_bounces),
-        ptype=int(desc.pathtrace_type),
-        is_ortho=bool(desc.camera_params.is_orthographic),
-        accumulate=bool(desc.accum_params.accumulate),
-    )
+
+    def _one(tile_wh, tx, ty):
+        return _dispatch_packet_safe(
+            scene,
+            _render_pathtrace,
+            image,
+            _camera_args(desc),
+            jnp.int32(tx),
+            jnp.int32(ty),
+            jnp.uint32(desc.accum_params.counter),
+            jnp.uint32(desc.advanced.rng_seed),
+            jnp.float32(desc.advanced.ray_epsilon),
+            jnp.float32(desc.advanced.max_radiance),
+            tile_wh=tile_wh,
+            spp=int(baked.samples_per_pixel),
+            max_bounces=int(baked.max_bounces),
+            ptype=int(desc.pathtrace_type),
+            is_ortho=bool(desc.camera_params.is_orthographic),
+            accumulate=bool(desc.accum_params.accumulate),
+        )
+
+    # Self-bounding (renderer.rs:651-681: the reference never lets one
+    # dispatch grow unbounded): the wavefront's fetch intermediates scale
+    # with rays x sl_stride, and a whole-frame dispatch on a multi-M-tri
+    # scene (stride 4096) blows HBM (observed f32[518400,4,4096] = 34 GB,
+    # out_hw/terrain_render.log). When the caller didn't tile explicitly,
+    # split the frame so rays*stride stays under a budget.
+    if not desc.tile_params.enabled and scene.use_bvh and scene.sl_count:
+        H, W = image.shape[:2]
+        budget = int(
+            os.environ.get("LUPIN_DISPATCH_RAY_STRIDE_BUDGET", 700_000_000)
+        )
+        stride = max(int(scene.sl_stride), 1)
+        if W * H * stride > budget:
+            ts = 1024
+            floor = int(os.environ.get("LUPIN_DISPATCH_TILE_FLOOR", 128))
+            while ts > floor and ts * ts * stride > budget:
+                ts //= 2
+            nx, ny = get_num_tiles(W, H, ts)
+            for idx in range(nx * ny):
+                tx, ty = (idx % nx) * ts, (idx // nx) * ts
+                twh = (min(ts, W - tx), min(ts, H - ty))
+                image = _one(twh, tx, ty)
+            return image
+
+    return _one(tile_wh, tx, ty)
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,27 @@ def test_tiled_matches_full(cornell):
     np.testing.assert_allclose(np.asarray(img), full, atol=1e-5)
 
 
+def test_auto_tile_self_bounding(monkeypatch):
+    """A whole-frame BVH dispatch whose rays x sl_stride exceeds the budget
+    must auto-split into tiles (renderer self-bounding — the terrain-OOM
+    fix, out_hw/terrain_render.log) and produce the same image: RNG streams
+    key on absolute pixel id, so tiling is invisible to the result."""
+
+    scene, cams = builtin.build_scene_cornell_box()
+    tpu = build_scene_tpu(scene, dense_max_tris=8)
+    assert tpu.use_bvh and tpu.sl_count > 0
+    desc = PathtraceDesc()
+    desc.camera_transform = cams[0].transform
+    desc.camera_params = cams[0].params
+    desc.advanced.max_radiance = 10.0
+    desc.pathtrace_type = PathtraceType.NAIVE
+    full = _render(tpu, desc, w=16, h=16, spp=1, bounces=2)
+    monkeypatch.setenv("LUPIN_DISPATCH_RAY_STRIDE_BUDGET", "1")
+    monkeypatch.setenv("LUPIN_DISPATCH_TILE_FLOOR", "8")
+    tiled = _render(tpu, desc, w=16, h=16, spp=1, bounces=2)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
+
+
 def test_falsecolor_modes(cornell):
     tpu, desc = cornell
     baked = BakedPathtraceParams(max_bounces=2, samples_per_pixel=1)
