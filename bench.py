@@ -71,9 +71,15 @@ def _traversal_backend(scene):
     # the label must say so (ADVICE r4 #3). Since round 5 the default
     # routing is hybrid: packet for coherent primary batches, sort
     # wavefront for in-loop bounce batches (ROADMAP round-5 decision).
+    bk = "hybrid-packet/sort"
     if env_on("LUPIN_PACKET_RAYSORT"):
-        return "hybrid-packet+raysort/sort"
-    return "hybrid-packet/sort"
+        bk = "hybrid-packet+raysort/sort"
+    # A persisted streams win changes the dispatch shape of later configs
+    # too — keep the label honest (same rule as raysort above).
+    k = os.environ.get("LUPIN_SPP_STREAMS", "1")
+    if k not in ("", "1"):
+        bk += f"+streams{k}"
+    return bk
 
 
 def main():
@@ -392,31 +398,32 @@ def bench_bvh_scene(
         "unit": "Mrays/s/chip",
         "backend": bk,
     }
+    from lupinpathtracer_tpu.render.renderer import (
+        _render_pathtrace as _rp,
+    )
+
+    def _timed_env(tag, **env):
+        # The jit cache doesn't key on the backend-choice env vars, so it
+        # must be cleared for each retrace to actually flip (and again
+        # after, so later same-signature dispatches re-trace under the
+        # final env).
+        olds = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        _rp.clear_cache()
+        try:
+            return _timed(tag)
+        finally:
+            for k, v in olds.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            _rp.clear_cache()
+
     if ab_backends and "packet" in bk:
         # Three-way A/B: packet (as-is), packet + coherence ray sort
         # (LUPIN_PACKET_RAYSORT — bounce batches measured ~2x divergence
-        # without it, prof_packet 2026-08-19), sort wavefront. The jit
-        # cache doesn't key on the backend-choice env vars, so it must be
-        # cleared for each retrace to actually flip (and again after, so
-        # later same-signature dispatches re-trace under the final env).
-        from lupinpathtracer_tpu.render.renderer import (
-            _render_pathtrace as _rp,
-        )
-
-        def _timed_env(tag, **env):
-            olds = {k: os.environ.get(k) for k in env}
-            os.environ.update(env)
-            _rp.clear_cache()
-            try:
-                return _timed(tag)
-            finally:
-                for k, v in olds.items():
-                    if v is None:
-                        os.environ.pop(k, None)
-                    else:
-                        os.environ[k] = v
-                _rp.clear_cache()
-
+        # without it, prof_packet 2026-08-19), sort wavefront.
         legs = [("packet", mrays, bk)]
         try:
             m_rs, _ = _timed_env("packet+raysort", LUPIN_PACKET_RAYSORT="1")
@@ -438,6 +445,32 @@ def bench_bvh_scene(
             _rp.clear_cache()
             print("# A/B: packet+raysort won; LUPIN_PACKET_RAYSORT=1 for "
                   "the remaining configs", file=sys.stderr)
+    if ab_backends:
+        # Streams A/B on top of the backend winner: K concurrent sample
+        # streams per pixel amortize the wavefront round's fixed phase
+        # costs (top/sort/items/pair/unsort each have a ~3 ms floor at
+        # 131k lanes, out_hw/prof_sort.log) at K x the lane memory.
+        best_m, best_k = rec["value"], "1"
+        for K in ("2", "4"):
+            if int(K) >= SPP or SPP % int(K):
+                continue
+            try:
+                m_k, _ = _timed_env(f"streams{K}", LUPIN_SPP_STREAMS=K)
+                rec[f"ab_streams{K}"] = round(m_k, 2)
+                if m_k > best_m:
+                    best_m, best_k = m_k, K
+            except Exception as e:
+                print(f"# streams{K} leg failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+        if best_k != "1":
+            rec["value"] = round(best_m, 2)
+            rec["backend"] += f"+streams{best_k}"
+            rec["ab_winner_streams"] = best_k
+            if persist_winner:
+                os.environ["LUPIN_SPP_STREAMS"] = best_k
+                _rp.clear_cache()
+                print(f"# A/B: streams{best_k} won; LUPIN_SPP_STREAMS="
+                      f"{best_k} for the remaining configs", file=sys.stderr)
     return rec
 
 

@@ -533,6 +533,17 @@ WF_Q_TAIL = 32  # straggler rounds: few lanes x many remaining visits —
 # stays small (QB_tail = C * Q_TAIL ~ Bp * 4 slots)
 WF_RAY_BLOCK = 2048
 WF_PAIR_BLOCK = 256
+WF_TAIL_C = 2048  # straggler-compaction capacity: full rounds repeat until
+# pending <= C, then the C-lane compacted tail drains the rest. Read via
+# _wf_env so hardware sweeps can vary it without code edits (tools/
+# prof_iter.py); values are trace-time constants, so changing the env
+# requires a fresh jit (bench's _timed_env clears the cache).
+
+
+def _wf_env(name, default):
+    import os
+
+    return int(os.environ.get(name, default))
 INST_SMEM_MAX = 2048  # above this, per-instance tables no longer ride the
 # attr kernel as SMEM scalar-prefetch operands (Mosaic pads (n, 9) f32 to
 # (n, 128) — 51 MB vs the 1 MB SMEM budget at 100k instances); the
@@ -620,7 +631,11 @@ def closest_hit_wavefront(
 
     S = (TOP_FAN - 1) * scene.top_depth + TOP_FAN + 2
 
-    Q_main = WF_Q if coherent else WF_Q_DIVERGENT
+    Q_main = (
+        _wf_env("LUPIN_WF_Q", WF_Q)
+        if coherent
+        else _wf_env("LUPIN_WF_Q_DIV", WF_Q_DIVERGENT)
+    )
 
     real_lane = jnp.arange(Bp) < B
     if active is not None:
@@ -651,7 +666,7 @@ def closest_hit_wavefront(
     # arealights1), and the tail's dominant cost is the (S + 16) x C
     # gather/scatter of compacted state — C = 16k cost ~10 ms/round for 86
     # live lanes. A second full round (rare) is cheaper than a big buffer.
-    C = min(Bp, 2048)
+    C = min(Bp, _wf_env("LUPIN_WF_TAIL_C", WF_TAIL_C))
     if Bp > C:
         c = jax.lax.while_loop(
             lambda c: jnp.sum((c["sp"] > 0).astype(jnp.int32)) > C,
@@ -677,7 +692,8 @@ def closest_hit_wavefront(
         cc = {k: c[k][idx] for k in keys_1d}
         cc["sp"] = jnp.where(valid, cc["sp"], 0)
         cc["stack"] = c["stack"][:, idx]
-        cc = _wf_round(scene, W, eps, ro_c, rd_c, cc, S=S, PB=PB, Q=WF_Q_TAIL)
+        cc = _wf_round(scene, W, eps, ro_c, rd_c, cc, S=S, PB=PB,
+                       Q=_wf_env("LUPIN_WF_Q_TAIL", WF_Q_TAIL))
 
         back = jnp.where(valid, idx, Bp)  # invalid slots dropped
         out = dict(c)
@@ -1009,13 +1025,17 @@ def _wf_round(scene, W, eps, rop: V3, rdp: V3, c: dict, *, S, PB, Q=None):
         inst_k, txf_tab = None, None
 
     # ---- MXU pair intersection over sorted, aligned ray blocks ----
-    t, u, v, det, gtri = pb.pair_intersect(
+    t, u, v, det, ltri = pb.pair_intersect(
         blk_k, sl_k, lo_k, hi_k,
         v3.V3(srox, sroy, sroz), v3.V3(srdx, srdy, srdz),
         W, eps, SP=SP, pair_block=PB, msl=msl_k, inst=inst_k,
         txf_tab=txf_tab, n_items_dyn=n_items,
     )
     t = jnp.where(jnp.arange(QB, dtype=jnp.int32) < n_real, t, F32_MAX)
+    # The kernel emits stride-local winners; globalize with the per-pair
+    # sorted key (= the item's superleaf — shipping sl per item to SMEM
+    # was one of the six tables that OOM'd at 100k instance-superleaves).
+    gtri = ltri + jnp.minimum(skey, n_sl - 1) * SP
 
     # ---- back to (Q, Bp) ray slots: un-sort by original slot index ----
     _, t_s, u_s, v_s, det_s, tri_s = jax.lax.sort(

@@ -382,27 +382,35 @@ def top_traverse(tab, ro, rd, best_t, stack, sp, *, S, Q, n_sl, ray_block=2048):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
-                 txf_ref,
-                 rox_ref, roy_ref, roz_ref, rdx_ref,
-                 rdy_ref, rdz_ref, pos_ref, W_ref, eps_ref, t_ref, u_ref,
-                 v_ref, det_ref, idx_ref, scr_f_ref, scr_i_ref, *, TB, PB):
+def _pair_kernel(pk_ref, msl_ref, *args, TB, PB, HAS_INST):
     """Dense closest hit of one work item: one contiguous, 128-aligned block
     of superleaf-sorted rays against one superleaf's triangle block.
 
     Identical math to pallas_intersect._kernel. The grid runs over work
-    items (block, superleaf, lo, hi): the ray block is picked by the
-    scalar-prefetched block id, the W slice by the superleaf id, and lanes
-    outside the superleaf's sorted-position range [lo, hi) are masked out of
-    the blended write — a block straddling a segment boundary is simply
-    visited once per segment. Work items are block-monotone so each output
-    block stays resident in VMEM across its visits. Ray features
-    R = [d, o x d, o, 1] are built in-kernel from the six components (the
-    (P, 10) matrix would otherwise round-trip HBM)."""
+    items (block, lo, hi packed into ONE i32 — see pair_intersect; SMEM is
+    1 MB and six separate (n_items,) i32 tables OOM'd it at 100k
+    instance-superleaves, out_hw/repro_inst.log): the ray block is picked
+    by the packed block id, the W slice by the superleaf id, and lanes
+    outside the superleaf's BLOCK-LOCAL sorted-position range [lo, hi) are
+    masked out of the blended write — a block straddling a segment boundary
+    is simply visited once per segment. Work items are block-monotone so
+    each output block stays resident in VMEM across its visits. Ray
+    features R = [d, o x d, o, 1] are built in-kernel from the six
+    components (the (P, 10) matrix would otherwise round-trip HBM). The
+    emitted triangle index is LOCAL to the superleaf's stride — the caller
+    adds sl * SP (it already holds the per-pair sorted key)."""
+
+    if HAS_INST:
+        inst_ref, txf_ref = args[0], args[1]
+        args = args[2:]
+    (rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+     W_ref, eps_ref, t_ref, u_ref, v_ref, det_ref, idx_ref,
+     scr_f_ref, scr_i_ref) = args
 
     k = pl.program_id(0)
-    lo = lo_ref[k]
-    hi = hi_ref[k]
+    w = pk_ref[k]
+    lo = (w >> 13) & 0x1FF
+    hi = (w >> 22) & 0x1FF
 
     @pl.when(hi > lo)
     def _run():
@@ -411,22 +419,24 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
 
         rox, roy, roz = vec(rox_ref), vec(roy_ref), vec(roz_ref)
         rdx, rdy, rdz = vec(rdx_ref), vec(rdy_ref), vec(rdz_ref)
-        # Per-item instance transform (two-level TLAS->BLAS analog,
-        # bvh_custom.wgsl:30-35): rays move into mesh space; the direction
-        # is NOT normalized so t stays world-scaled. The transform table is
-        # per-INSTANCE (SMEM is 1MB; a per-item copy overflows it at large
-        # work-item counts) with a per-item index; single-level scenes pass
-        # a one-row identity.
-        inst = inst_ref[k]
-        m = [txf_ref[inst, j] for j in range(12)]
-        tx = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
-        ty = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
-        tz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
-        rox, roy, roz = tx, ty, tz
-        dx = m[0] * rdx + m[1] * rdy + m[2] * rdz
-        dy = m[4] * rdx + m[5] * rdy + m[6] * rdz
-        dz = m[8] * rdx + m[9] * rdy + m[10] * rdz
-        rdx, rdy, rdz = dx, dy, dz
+        if HAS_INST:
+            # Per-item instance transform (two-level TLAS->BLAS analog,
+            # bvh_custom.wgsl:30-35): rays move into mesh space; the
+            # direction is NOT normalized so t stays world-scaled. The
+            # transform table is per-INSTANCE (a per-item 12-float copy
+            # overflows SMEM at large work-item counts) with a per-item
+            # index; single-level scenes and huge-instance rounds (rays
+            # pre-transformed by the caller) skip the multiply entirely.
+            inst = inst_ref[k]
+            m = [txf_ref[inst, j] for j in range(12)]
+            tx = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+            ty = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+            tz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+            rox, roy, roz = tx, ty, tz
+            dx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+            dy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+            dz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+            rdx, rdy, rdz = dx, dy, dz
         cx = roy * rdz - roz * rdy
         cy = roz * rdx - rox * rdz
         cz = rox * rdy - roy * rdx
@@ -531,16 +541,21 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
         # convention as pallas_packet._isect_core). Misses keep F32_MAX.
         bt = jnp.where(bt < F32_MAX, wnt * wd, bt)
 
-        # Blend only the lanes whose sorted position belongs to this work
-        # item's superleaf segment; other lanes keep the value written by
-        # the block's other visits (first-visit garbage on lanes no item
-        # covers is masked by the caller's n_real cut). Mosaic only folds
+        # Blend only the lanes whose BLOCK-LOCAL sorted position belongs to
+        # this work item's superleaf segment; other lanes keep the value
+        # written by the block's other visits (first-visit garbage on lanes
+        # no item covers is masked by the caller's n_real cut). The local
+        # position is a free iota — the old (1, sub, 128) global-position
+        # operand cost one VMEM stream per grid step. Mosaic only folds
         # 1-D<->2-D casts into memory ops, so each 1-D accumulator takes a
         # store-adjacent reshape through VMEM scratch and comes back 2-D
         # for the blended write.
-        m2 = (pos_ref[0] >= lo) & (pos_ref[0] < hi)  # (sub, 128)
         sh = t_ref.shape[1:]
-        gtri = bidx + sl_ref[k] * (num_blocks * TB)
+        pos2 = (
+            jax.lax.broadcasted_iota(jnp.int32, sh, 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+        )
+        m2 = (pos2 >= lo) & (pos2 < hi)  # (sub, 128)
 
         def to2d_f(x):
             scr_f_ref[...] = x.reshape(sh)
@@ -554,7 +569,7 @@ def _pair_kernel(blk_ref, sl_ref, msl_ref, lo_ref, hi_ref, inst_ref,
         u_ref[0] = jnp.where(m2, to2d_f(bu), u_ref[0])
         v_ref[0] = jnp.where(m2, to2d_f(bv), v_ref[0])
         det_ref[0] = jnp.where(m2, to2d_f(bdet), det_ref[0])
-        idx_ref[0] = jnp.where(m2, to2d_i(gtri), idx_ref[0])
+        idx_ref[0] = jnp.where(m2, to2d_i(bidx), idx_ref[0])
 
 
 def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
@@ -562,22 +577,30 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
     """Work-item pair intersection over superleaf-sorted rays.
 
     blk/sl/lo/hi: (n_items,) i32 work items — ray block id, superleaf id,
-    and the [lo, hi) sorted-position range owned by that superleaf (lanes
-    outside it are masked; lo == hi skips the item). blk must be
+    and the [lo, hi) GLOBAL sorted-position range owned by that superleaf
+    (lanes outside it are masked; lo == hi skips the item). blk must be
     nondecreasing so output blocks revisit consecutively. ro/rd: V3 of
     sorted per-pair ray components (P = n_pb * pair_block, n_pb = number of
     ray blocks); W4: (4, 10, n_sl*SP) padded-soup coefficient matrix.
     n_items_dyn: traced count of valid items — used as a DYNAMIC grid bound
     on TPU so the static tail costs nothing (a skipped step still costs
     ~1.5 us; the tail is ~90% of the static cap in typical rounds).
-    Returns per sorted pair (t, u, v, det, GLOBAL tri idx = sl*SP + local);
-    positions covered by no item hold garbage — cut by the caller."""
+    Returns per sorted pair (t, u, v, det, LOCAL tri idx in [0, SP)); the
+    caller adds sl * SP from its per-pair sorted key. Positions covered by
+    no item hold garbage — cut by the caller.
+
+    SMEM budget: (blk, block-local lo, hi) are packed into ONE i32 per
+    item (13 | 9 | 9 bits) and `sl` never ships at all, so the per-item
+    SMEM cost is 8 B (+4 with `inst`) instead of 24 — six separate tables
+    blew the 1 MB SMEM budget at 100k instance-superleaves
+    (out_hw/repro_inst.log: 2.32M used)."""
 
     n_items = blk.shape[0]
     PB = pair_block
     P = ro.x.shape[0]
     assert P % PB == 0
     n_pb = P // PB
+    assert n_pb <= (1 << 13), (n_pb, "packed blk field is 13 bits")
     # Keep the (4*TB, PB) f32 intermediates at <=2 MB regardless of PB so
     # VMEM pressure is PB-invariant. TB must DIVIDE SP: for 128-aligned
     # non-power-of-two strides (e.g. sl_stride_opt=640) fall back to the
@@ -588,38 +611,47 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
     sub = PB // 128
     if msl is None:
         msl = sl  # single-level: global superleaf IS the mesh superleaf
-    if inst is None:
-        inst = jnp.zeros((n_items,), jnp.int32)
-    if txf_tab is None:
-        txf_tab = jnp.asarray(
-            [[1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0]], jnp.float32
-        )
+    has_inst = txf_tab is not None
+    base = blk * PB
+    lo_l = jnp.clip(lo - base, 0, PB)
+    hi_l = jnp.clip(hi - base, 0, PB)
+    packed = blk | (lo_l << 13) | (hi_l << 22)
 
     vec = lambda dt: jax.ShapeDtypeStruct((n_pb, sub, 128), dt)
     out_shapes = (
         vec(jnp.float32), vec(jnp.float32), vec(jnp.float32),
         vec(jnp.float32), vec(jnp.int32),
     )
-    vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, b, s, ms, l, h, it, tx: (b[i], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if has_inst:
+        vec_spec = pl.BlockSpec(
+            (1, sub, 128), lambda i, pk, ms, it, tx: (pk[i] & 0x1FFF, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_spec = pl.BlockSpec(
+            (4, 10, SP), lambda i, pk, ms, it, tx: (0, 0, ms[i]),
+            memory_space=pltpu.VMEM,
+        )
+        prefetch = (packed, msl, inst, txf_tab)
+    else:
+        vec_spec = pl.BlockSpec(
+            (1, sub, 128), lambda i, pk, ms: (pk[i] & 0x1FFF, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_spec = pl.BlockSpec(
+            (4, 10, SP), lambda i, pk, ms: (0, 0, ms[i]),
+            memory_space=pltpu.VMEM,
+        )
+        prefetch = (packed, msl)
 
     interpret = jax.default_backend() != "tpu"
     # Interpret mode (CPU tests) has no dynamic-grid lowering; the static
     # cap is correct either way, just slower.
     grid = (n_items,) if interpret or n_items_dyn is None else (n_items_dyn,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=len(prefetch),
         grid=grid,
-        in_specs=[vec_spec] * 7
-        + [
-            pl.BlockSpec(
-                (4, 10, SP), lambda i, b, s, ms, l, h, it, tx: (0, 0, ms[i]),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=[vec_spec] * 6
+        + [w_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(vec_spec,) * 5,
         scratch_shapes=[
             pltpu.VMEM((sub, 128), jnp.float32),
@@ -631,17 +663,16 @@ def pair_intersect(blk, sl, lo, hi, ro, rd, W4, eps, *, SP, pair_block=256,
         return x.reshape(n_pb, sub, 128)
 
     t, u, v, det, idx = pl.pallas_call(
-        functools.partial(_pair_kernel, TB=TB, PB=PB),
+        functools.partial(_pair_kernel, TB=TB, PB=PB, HAS_INST=has_inst),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(blk, sl, msl, lo, hi, inst, txf_tab,
+    )(*prefetch,
       shape3(ro.x), shape3(ro.y), shape3(ro.z),
       shape3(rd.x), shape3(rd.y), shape3(rd.z),
-      shape3(jnp.arange(P, dtype=jnp.int32)),
       W4, jnp.reshape(jnp.asarray(eps, jnp.float32), (1,)))
     return (
         t.reshape(P), u.reshape(P), v.reshape(P), det.reshape(P),

@@ -241,7 +241,7 @@ def _camera_ray_from(regen, state):
 def pathtrace_spp(
     scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho: bool,
     accum_counter, rng_seed, spp: int, ptype: int, max_bounces: int,
-    max_radiance, sample_offset=0,
+    max_radiance, sample_offset=0, streams: int = 1,
 ):
     """All spp samples of a pixel batch as ONE wavefront with path
     regeneration: a lane that finishes sample s (miss / absorption / RR /
@@ -255,7 +255,36 @@ def pathtrace_spp(
     opaque scenes.
 
     Returns (acc V3 = sum over spp of clamp_radiance(sample), n_traced).
+
+    `streams` > 1 runs the spp budget as K CONCURRENT sample streams per
+    pixel (lanes replicated K times, each stream regenerating spp/K
+    samples): same per-(pixel, sample) RNG streams and sample set as
+    streams=1 — only the fp summation order differs — but each wavefront
+    round carries K x the rays, amortizing the round's fixed phase costs
+    (top/sort/items/pair/unsort each have a ~3 ms floor at 131k lanes —
+    out_hw/prof_sort.log). The sweet spot is scene-dependent; bench A/Bs
+    it via LUPIN_SPP_STREAMS.
     """
+
+    if streams > 1 and spp % streams == 0 and spp > streams - 1:
+        K = streams
+        Bq = pixel_idx.shape[0]
+
+        def rep(a):
+            return jnp.tile(a, K)
+
+        offs = sample_offset + jnp.repeat(
+            jnp.arange(K, dtype=jnp.uint32) * (spp // K), Bq
+        )
+        acc, n_traced = pathtrace_spp(
+            scene, ctx, rep(pixel_idx), rep(gx), rep(gy), resolution, cam,
+            is_ortho, accum_counter, rng_seed, spp // K, ptype, max_bounces,
+            max_radiance, sample_offset=offs,
+        )
+        return (
+            V3(*(x.reshape(K, Bq).sum(axis=0) for x in (acc.x, acc.y, acc.z))),
+            n_traced.reshape(K, Bq).sum(axis=0),
+        )
 
     regen = dict(
         gx=gx, gy=gy, resolution=resolution, cam=cam, is_ortho=is_ortho,

@@ -189,9 +189,13 @@ def _render_pathtrace(
             ray_epsilon,
         )
     else:
+        streams = int(os.environ.get("LUPIN_SPP_STREAMS", "1"))
+        if streams < 1 or spp % streams:
+            streams = 1
         acc, _ = integrators.pathtrace_spp(
             scene, ctx, pixel_idx, gx, gy, resolution, cam, is_ortho,
             accum_counter, rng_seed, spp, ptype, max_bounces, max_radiance,
+            streams=streams,
         )
     color = v3.to_rows(acc / float(spp))
     full = (tw, th) == (W, H)

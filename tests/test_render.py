@@ -250,6 +250,43 @@ def test_regen_matches_sequential_spp(cornell, ptype):
         )
 
 
+def test_spp_streams_matches_single_stream(cornell):
+    """streams=K replicates lanes K times with per-stream sample offsets;
+    it must draw the exact same (pixel, sample) RNG streams as streams=1 —
+    identical total segments traced, radiance equal up to fp summation
+    order."""
+
+    from lupinpathtracer_tpu.render import integrators
+    from lupinpathtracer_tpu.render.renderer import _camera_args
+
+    tpu, desc = cornell
+    W = H = 12
+    SPP, BOUNCES, MAXRAD = 4, 4, 10.0
+    cam = _camera_args(desc)
+    gx = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+    gy = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    pixel_idx = (gy * W + gx).astype(jnp.uint32)
+    res = (jnp.float32(W), jnp.float32(H))
+    ctx = integrators.make_ctx(tpu, jnp.float32(1e-3))
+
+    def run(streams):
+        return integrators.pathtrace_spp(
+            tpu, ctx, pixel_idx, gx, gy, res, cam, False,
+            jnp.uint32(0), jnp.uint32(0), SPP,
+            int(PathtraceType.STANDARD), BOUNCES, jnp.float32(MAXRAD),
+            streams=streams,
+        )
+
+    acc1, nt1 = run(1)
+    for K in (2, 4):
+        accK, ntK = run(K)
+        assert int(jnp.sum(ntK)) == int(jnp.sum(nt1))
+        for a, b in zip((accK.x, accK.y, accK.z), (acc1.x, acc1.y, acc1.z)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
+            )
+
+
 @pytest.mark.slow
 def test_sharded_bvh_scene_8dev(rng):
     """Tile-sharded rendering of a BVH (superleaf wavefront) scene on the
