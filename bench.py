@@ -445,11 +445,15 @@ def bench_bvh_scene(
             _rp.clear_cache()
             print("# A/B: packet+raysort won; LUPIN_PACKET_RAYSORT=1 for "
                   "the remaining configs", file=sys.stderr)
-    if ab_backends:
+    from lupinpathtracer_tpu.kernels.pallas_packet import env_on
+
+    if ab_backends and env_on("LUPIN_BENCH_AB_STREAMS"):
         # Streams A/B on top of the backend winner: K concurrent sample
-        # streams per pixel amortize the wavefront round's fixed phase
-        # costs (top/sort/items/pair/unsort each have a ~3 ms floor at
-        # 131k lanes, out_hw/prof_sort.log) at K x the lane memory.
+        # streams per pixel would amortize fixed phase floors at K x the
+        # lane memory — MEASURED A LOSER on hardware (out_hw/prof_e2e.log:
+        # 2.08/1.77 vs 2.22 Mrays/s base at K=2/4 — the round phases
+        # scale with lanes, there is no fixed floor to amortize), so the
+        # legs are opt-in to keep the bench budget for configs.
         best_m, best_k = rec["value"], "1"
         for K in ("2", "4"):
             if int(K) >= SPP or SPP % int(K):
