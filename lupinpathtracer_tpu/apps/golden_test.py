@@ -41,6 +41,32 @@ MAX_RADIANCE = 10.0  # main.rs:33
 RESOLUTION_TARGET = 1920 * 1080  # main.rs:477-484 (aspect-fit area)
 
 
+_CODE_SHA_CACHE = None
+
+
+def _code_sha() -> str:
+    """Content hash of the renderer package source, for checkpoint
+    provenance. Docs/tools commits don't change it, so checkpoints survive
+    unrelated commits; any change to the compute path invalidates them."""
+
+    global _CODE_SHA_CACHE
+    if _CODE_SHA_CACHE is None:
+        import hashlib
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(pkg)):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith((".py", ".cpp", ".so")) and f != "golden_test.py":
+                    p = os.path.join(root, f)
+                    h.update(p.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _CODE_SHA_CACHE = h.hexdigest()[:12]
+    return _CODE_SHA_CACHE
+
+
 def camera_resolution(aspect: float, target_area: int = RESOLUTION_TARGET):
     """Aspect-fit resolution (lupin_tests/src/main.rs:477-484)."""
 
@@ -153,8 +179,25 @@ def run_scene(scene_dir, name, args):
                     args.out_dir, f"{name}_cam{ci}_{w}x{h}_ckpt.npz"
                 )
                 if os.path.exists(ckpt_path):
-                    ck = np.load(ckpt_path)
-                    if ck["image"].shape[:2] == (h, w) and int(
+                    ck = np.load(ckpt_path, allow_pickle=False)
+                    ck_sha = str(ck["code_sha"]) if "code_sha" in ck else ""
+                    sha_ok = ck_sha == _code_sha() or os.environ.get(
+                        "LUPIN_CKPT_ALLOW_STALE"
+                    )
+                    if not sha_ok:
+                        # A checkpoint rendered by different code must not
+                        # be blended into a gate image: mixing two renderer
+                        # populations produces Franken artifacts (e.g.
+                        # soft highlight edges = old-sharp + new-sharp
+                        # blend — the arealights1 cam2 full-workload FAIL,
+                        # out_hw/full_arealights1.log). Restart instead.
+                        print(
+                            f"    ckpt code_sha {ck_sha or '<none>'} != "
+                            f"HEAD {_code_sha()}; discarding "
+                            "(LUPIN_CKPT_ALLOW_STALE=1 overrides)",
+                            flush=True,
+                        )
+                    elif ck["image"].shape[:2] == (h, w) and int(
                         ck["spp_per_pass"]
                     ) == SPP_PER_PASS:
                         image = jnp.asarray(ck["image"])
@@ -178,6 +221,7 @@ def run_scene(scene_dir, name, args):
                         image=np.asarray(image),
                         counter=i + 1,
                         spp_per_pass=SPP_PER_PASS,
+                        code_sha=_code_sha(),
                     )
                     os.replace(ckpt_path + ".tmp.npz", ckpt_path)
                     t_last = _time.time()

@@ -524,10 +524,13 @@ def count_traversal(scene, ro: V3, rd: V3, eps):
 WF_Q = 8  # superleaf hits collected per ray per round (v5e sweep: Q=8 +
 # SP=1024 beat Q=4/SP=2048 by 11% on arealights1 — fewer rounds outweighs
 # the larger sort)
-WF_Q_DIVERGENT = 4  # divergent bounce batches: emissions per ray are
-# fewer and sorts dominate — Q=4 measured 26.7 vs Q=8's 30.7 ms on the
-# arealights1 bounce batch (prof_opt 2026-08-19); camera batches keep Q=8
-# (20.9 vs 22.8)
+WF_Q_DIVERGENT = 8  # divergent bounce batches. On an ISOLATED pure
+# bounce batch Q=4 wins (26.7 vs 30.7 ms, prof_opt 2026-08-19), but the
+# real integrator loop mixes respawned camera rays with deep bounce rays
+# and iterates until the batch drains: end-to-end Q_DIV=8 measured 959 ms
+# vs Q_DIV=4's 1014 ms on the arealights1 512x256 8spp pathtrace
+# (out_hw/prof_e2e.log) — fewer stage-1 rounds on the mixed batch beat
+# the smaller per-round sort. The e2e number is the one that ships.
 WF_Q_TAIL = 32  # straggler rounds: few lanes x many remaining visits —
 # a high Q drains a deep ray's whole line in 1-2 rounds while the sort
 # stays small (QB_tail = C * Q_TAIL ~ Bp * 4 slots)

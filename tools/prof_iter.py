@@ -196,10 +196,10 @@ for k in (1, worst):
 # ---- 4. env sweep on the worst state ------------------------------------
 ro_w, rd_w, act_w = put(captured[worst])
 VARIANTS = [
-    dict(),
-    dict(LUPIN_WF_Q_DIV="8"),
+    dict(),  # base is now Q_DIV=8 (default flipped after prof_e2e)
+    dict(LUPIN_WF_Q_DIV="4"),
+    dict(LUPIN_WF_Q_DIV="16"),
     dict(LUPIN_WF_TAIL_C="8192"),
-    dict(LUPIN_WF_TAIL_C="8192", LUPIN_WF_Q_DIV="8"),
     dict(LUPIN_WF_TAIL_C="16384", LUPIN_WF_Q_TAIL="16"),
     dict(LUPIN_WF_Q_TAIL="64"),
 ]
