@@ -704,24 +704,32 @@ IA_BIT = slice(19, 22)
 IA_ROWS_NM = 24
 
 
-def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, inst_ref, nrm_ref,
-                 ovr_ref, li_ref, u_ref, v_ref,
-                 A_ref, attr_ref, *, PB, AWOUT):
+def _attr_kernel(pk_ref, sl_ref, *pre, PB, AWOUT, HAS_INST):
     """One-hot fetch + in-kernel interpolation of winner shading attributes.
 
     Work items mirror _pair_kernel: rays sorted by winning superleaf, one
-    contiguous 128-aligned block per item with [lo, hi) masking. The item's
-    (SP, ATTR_WIDTH) attribute slice is picked by the scalar-prefetched
-    superleaf id; the fetch is an exact one-hot matmul (HIGHEST — bit-exact
-    f32, same as pallas_intersect._kernel_attrs_body). Normals, texcoords
-    and vertex colors are interpolated at the hit barycentrics HERE so only
-    IA_ROWS compact rows ride the un-sort."""
+    contiguous 128-aligned block per item with BLOCK-LOCAL [lo, hi) masking
+    ((blk, lo, hi) packed into ONE i32, 13|9|9 bits — five separate
+    (n_items,) tables cost 1.93 MB of the 1 MB SMEM at 100k
+    instance-superleaves, out_hw/bench2.log). The item's (SP, ATTR_WIDTH)
+    attribute slice is picked by the scalar-prefetched superleaf id; the
+    fetch is an exact one-hot matmul (HIGHEST — bit-exact f32, same as
+    pallas_intersect._kernel_attrs_body). Normals, texcoords and vertex
+    colors are interpolated at the hit barycentrics HERE so only IA_ROWS
+    compact rows ride the un-sort. Identity paths (single-level scenes and
+    huge-instance rounds) ship NO per-item instance word: HAS_INST=False
+    reads row 0 of the one-row identity tables."""
 
     from . import pallas_intersect as pk
 
+    if HAS_INST:
+        inst_ref, pre = pre[0], pre[1:]
+    (nrm_ref, ovr_ref, li_ref, u_ref, v_ref, A_ref, attr_ref) = pre
+
     k = pl.program_id(0)
-    lo = lo_ref[k]
-    hi = hi_ref[k]
+    w = pk_ref[k]
+    lo = (w >> 13) & 0x1FF
+    hi = (w >> 22) & 0x1FF
 
     @pl.when(hi > lo)
     def _run():
@@ -782,7 +790,7 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, inst_ref, nrm_ref,
         # (ovr < 0 = single-level, matrix is identity). The rotated
         # geometric normal is renormalized; shading-normal/tangent
         # normalization happens at the consumer as in the single-level path.
-        inst = inst_ref[k]
+        inst = inst_ref[k] if HAS_INST else 0
         ovr = ovr_ref[inst]
         two_l = ovr >= 0  # scalar marker: only two-level items rotate
 
@@ -818,9 +826,8 @@ def _attr_kernel(blk_ref, sl_ref, lo_ref, hi_ref, inst_ref, nrm_ref,
         zero = jnp.zeros_like(rows[0])
         out = jnp.stack([r if r is not None else zero for r in rows], axis=0)
 
-        pos = blk_ref[k] * PB + jax.lax.broadcasted_iota(
-            jnp.int32, (AWOUT, PB), 1
-        )
+        # lo/hi are block-local, so the lane iota is the position directly.
+        pos = jax.lax.broadcasted_iota(jnp.int32, (AWOUT, PB), 1)
         m = (pos >= lo) & (pos < hi)
         attr_ref[0] = jnp.where(m, out, attr_ref[0])
 
@@ -839,10 +846,11 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
     P = li.shape[0]
     assert P % PB == 0
     n_pb = P // PB
+    assert n_pb <= (1 << 13), (n_pb, "packed blk field is 13 bits")
+    assert PB <= 256, (PB, "packed lo/hi fields are 9 bits")
     AWOUT = IA_ROWS_NM if with_tangents else IA_ROWS
     sub = PB // 128
-    if inst is None:
-        inst = jnp.zeros((n_items,), jnp.int32)
+    has_inst = inst is not None
     if nrm_tab is None:
         nrm_tab = jnp.asarray(
             [[1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]], jnp.float32
@@ -850,37 +858,52 @@ def attr_fetch(blk, sl, lo, hi, li, hu, hv, A3, *, pair_block=256,
     if ovr_tab is None:
         ovr_tab = jnp.full((nrm_tab.shape[0],), -1, jnp.int32)
 
-    vec_spec = pl.BlockSpec(
-        (1, sub, 128), lambda i, b, s, l, h, it, nr, ov: (b[i], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    # SMEM budget: same packing as pair_intersect — (blk, block-local lo,
+    # hi) in ONE i32 per item; the identity path (single-level / huge-
+    # instance) ships no per-item instance word at all. Five separate
+    # (n_items,) tables were 1.93 MB of the 1 MB SMEM at 100k
+    # instance-superleaves (out_hw/bench2.log instanced100k skip).
+    base = blk * PB
+    lo_l = jnp.clip(lo - base, 0, PB)
+    hi_l = jnp.clip(hi - base, 0, PB)
+    packed = blk | (lo_l << 13) | (hi_l << 22)
+    if has_inst:
+        prefetch = (packed, sl, inst, nrm_tab, ovr_tab)
+        idx_b = lambda i, pk_, s, it, nr, ov: (pk_[i] & 0x1FFF, 0, 0)
+        idx_s = lambda i, pk_, s, it, nr, ov: (s[i], 0, 0)
+    else:
+        prefetch = (packed, sl, nrm_tab, ovr_tab)
+        idx_b = lambda i, pk_, s, nr, ov: (pk_[i] & 0x1FFF, 0, 0)
+        idx_s = lambda i, pk_, s, nr, ov: (s[i], 0, 0)
+
+    vec_spec = pl.BlockSpec((1, sub, 128), idx_b, memory_space=pltpu.VMEM)
     interpret = jax.default_backend() != "tpu"
     grid = (n_items,) if interpret or n_items_dyn is None else (n_items_dyn,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=len(prefetch),
         grid=grid,
         in_specs=[
             vec_spec, vec_spec, vec_spec,
             pl.BlockSpec(
-                (1, A3.shape[1], A3.shape[2]),
-                lambda i, b, s, l, h, it, nr, ov: (s[i], 0, 0),
+                (1, A3.shape[1], A3.shape[2]), idx_s,
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, AWOUT, PB), lambda i, b, s, l, h, it, nr, ov: (b[i], 0, 0),
-            memory_space=pltpu.VMEM,
+            (1, AWOUT, PB), idx_b, memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_attr_kernel, PB=PB, AWOUT=AWOUT),
+        functools.partial(
+            _attr_kernel, PB=PB, AWOUT=AWOUT, HAS_INST=has_inst
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pb, AWOUT, PB), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(blk, sl, lo, hi, inst, nrm_tab, ovr_tab,
+    )(*prefetch,
       li.reshape(n_pb, sub, 128),
       hu.reshape(n_pb, sub, 128), hv.reshape(n_pb, sub, 128),
       A3)
