@@ -206,15 +206,22 @@ def run_scene(scene_dir, name, args):
                               flush=True)
             import time as _time
 
-            t_last = _time.time()
+            t_cam0 = t_last = _time.time()
+            deferred = False
             for i in range(start_accum, accums):
                 desc.accum_params.counter = i
                 for t in range(nx * ny):
                     desc.tile_params.tile_idx = t
                     image = renderer.pathtrace_scene(tpu, image, desc, baked)
                     _ = float(jnp.sum(image))  # sync: bound queue depth
+                over_budget = (
+                    args.cam_budget_secs is not None
+                    and i + 1 < accums
+                    and _time.time() - t_cam0 > args.cam_budget_secs
+                )
                 if ckpt_path and (
-                    i + 1 == accums or _time.time() - t_last > args.ckpt_secs
+                    i + 1 == accums or over_budget
+                    or _time.time() - t_last > args.ckpt_secs
                 ):
                     np.savez(
                         ckpt_path + ".tmp.npz",
@@ -226,6 +233,19 @@ def run_scene(scene_dir, name, args):
                     os.replace(ckpt_path + ".tmp.npz", ckpt_path)
                     t_last = _time.time()
                     print(f"    ckpt @ accum {i + 1}/{accums}", flush=True)
+                if over_budget:
+                    # Per-camera wall budget: stop starving the rest of the
+                    # queue; the checkpoint just written resumes this camera
+                    # on the next pass (exit code 2 signals "rerun me").
+                    print(f"    cam{ci}: budget {args.cam_budget_secs:.0f}s "
+                          f"reached at accum {i + 1}/{accums}; deferred",
+                          flush=True)
+                    deferred = True
+                    break
+            if deferred:
+                results.append((name, ci, "deferred", 0.0, 0.0))
+                desc.tile_params.enabled = False
+                continue
             img = np.asarray(image)
             desc.tile_params.enabled = False
         else:
@@ -323,6 +343,12 @@ def main(argv=None):
                    help="checkpoint accumulation to out_dir and resume")
     p.add_argument("--ckpt_secs", type=float, default=120.0,
                    help="min seconds between checkpoints")
+    p.add_argument("--cam_budget_secs", type=float, default=None,
+                   help="per-camera wall budget: when an accumulation pass "
+                        "exceeds it, checkpoint and DEFER to the next "
+                        "camera instead of starving it (a 2231x930 camera "
+                        "once ate a whole 7200 s scene pass). Deferred "
+                        "cameras exit 2 so a retry loop resumes them.")
     args = p.parse_args(argv)
 
     names = (
@@ -339,11 +365,16 @@ def main(argv=None):
         print(f"scene {name}", flush=True)
         all_results += run_scene(os.path.join(args.scenes, name), name, args)
 
+    deferred = [r for r in all_results if r[2] == "deferred"]
     failed = [r for r in all_results if not r[2]]
     print()
     if failed:
         print(f"Failure: {len(failed)}/{len(all_results)} camera renders differ")
         sys.exit(1)
+    if deferred:
+        print(f"Deferred: {len(deferred)}/{len(all_results)} cameras hit "
+              "their wall budget; rerun to resume from checkpoints")
+        sys.exit(2)
     print(f"Success: all {len(all_results)} camera renders match")
 
 

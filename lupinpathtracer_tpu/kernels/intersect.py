@@ -110,6 +110,31 @@ def packet_eligible(scene) -> bool:
                 file=sys.stderr,
             )
         return False
+    # Top-tree TABLE gates, measured on the actual row count (the gsl gate
+    # alone underestimates: an imperfectly-filled 8-wide tree reached
+    # 33664 rows at 100578 gsl). geo rides VMEM lane-padded to
+    # (rows, TOP_FAN, 128) f32 — 137.9 MB at 33664 rows against the
+    # 128 MB VMEM (out_hw/bench2.log); refs ride SMEM flat
+    # (rows*TOP_FAN,) i32 against the 1 MB budget shared with the stack.
+    from ..accel.superleaf import TOP_FAN
+
+    rows = int(scene.top_tab.shape[0])
+    geo_bytes = rows * TOP_FAN * 128 * 4
+    refs_bytes = rows * TOP_FAN * 4
+    geo_max = int(os.environ.get("LUPIN_PACKET_GEO_VMEM_MAX", 96_000_000))
+    refs_max = int(os.environ.get("LUPIN_PACKET_REFS_SMEM_MAX", 768_000))
+    if geo_bytes > geo_max or refs_bytes > refs_max:
+        key = ("top_tab", rows)
+        if key not in _GATE_LOGGED:
+            _GATE_LOGGED.add(key)
+            print(
+                f"# packet backend ineligible: top tree {rows} rows -> "
+                f"geo {geo_bytes / 1e6:.1f} MB VMEM (max {geo_max / 1e6:.0f}) "
+                f"/ refs {refs_bytes / 1e3:.0f} KB SMEM "
+                f"(max {refs_max / 1e3:.0f}); using the sort wavefront",
+                file=sys.stderr,
+            )
+        return False
     return True
 
 

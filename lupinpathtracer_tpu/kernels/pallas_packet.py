@@ -73,11 +73,13 @@ def _pack_top(tab: jnp.ndarray):
     """Split the condensed row table into the two kernel-side tables.
 
     tab: (rows_pad, TOP_FAN*CH_STRIDE) f32 (accel/superleaf.build_top_table)
-    ->  geo  (rows_pad, TOP_FAN*8) f32: TOP_FAN groups of [lo.xyz, hi.xyz,
-        isleaf, 0], FLATTENED on the minor axis — a (rows, 8, 8) layout is
-        lane-padded 8 -> 128 (16x: 137.9 MB of VMEM at 33664 rows, the
-        instanced-100k packet OOM, out_hw/bench2.log); 64 lanes pad only 2x.
-        The kernel restores (TOP_FAN, 8) per row through a VMEM scratch.
+    ->  geo  (rows_pad, TOP_FAN, 8) f32: [lo.xyz, hi.xyz, isleaf, 0].
+        Mosaic lane-pads the minor 8 -> 128, a 16x blowup (137.9 MB of
+        VMEM at 33664 rows — the instanced-100k packet OOM,
+        out_hw/bench2.log). A flat (rows, 64) layout avoids it but the
+        (64,) -> (8, 8) restore is an unsupported Mosaic shape cast
+        (out_hw/prof_iter4.log), so oversized tables instead disable the
+        packet backend via _geo_vmem_ok (sort carries those scenes).
         refs (rows_pad, TOP_FAN)   i32: (child_ref << 1) | isleaf
     """
 
@@ -91,7 +93,7 @@ def _pack_top(tab: jnp.ndarray):
             jnp.zeros((rows_pad, TOP_FAN, 1), jnp.float32),
         ],
         axis=2,
-    ).reshape(rows_pad, TOP_FAN * 8)
+    )
     ref = (
         t3[:, :, CH_H2].astype(jnp.int32) * 65536
         + t3[:, :, CH_HI8].astype(jnp.int32) * 256
@@ -319,11 +321,11 @@ def _packet_kernel(
     if AWOUT:
         (A_ref, eps_ref, t_ref, u_ref, v_ref, det_ref, idx_ref, ia_ref,
          stack_ref, wv_ref, bt_ref, bu_ref, bv_ref, bd_ref, bi_ref,
-         geo_scr_ref, av_ref, sem_ref) = rest
+         av_ref, sem_ref) = rest
     else:
         (eps_ref, t_ref, u_ref, v_ref, det_ref, idx_ref,
          stack_ref, wv_ref, bt_ref, bu_ref, bv_ref, bd_ref, bi_ref,
-         geo_scr_ref, sem_ref) = rest
+         sem_ref) = rest
     eps = eps_ref[0]
 
     def vec(ref):
@@ -556,11 +558,7 @@ def _packet_kernel(
         is_leaf = pref & 1
         ref = pref >> 1
         rref = jnp.where(is_leaf == 0, ref, 0)
-        # geo rows are flat (TOP_FAN*8,) on the minor axis (see _pack_top);
-        # the (TOP_FAN, 8) shape for the slab test comes back through a
-        # VMEM scratch — Mosaic folds 1-D<->2-D casts only into memory ops.
-        geo_scr_ref[...] = geo_ref[rref].reshape(TOP_FAN, 8)
-        bits = slab_bits(geo_scr_ref[...], bt_ref[...])
+        bits = slab_bits(geo_ref[rref], bt_ref[...])
         bits = jnp.where(is_leaf == 0, bits, 0)
 
         sp2 = sp - 1
@@ -1038,7 +1036,6 @@ def packet_traverse(
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.float32),
             pltpu.VMEM((PBK,), jnp.int32),
-            pltpu.VMEM((TOP_FAN, 8), jnp.float32),  # geo row reshape
         ]
         + scr_attr
         + [pltpu.SemaphoreType.DMA((2,))]

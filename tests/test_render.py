@@ -250,6 +250,9 @@ def test_regen_matches_sequential_spp(cornell, ptype):
         )
 
 
+@pytest.mark.slow  # the streams lever lost its hardware A/B and is
+# env-gated off (out_hw/prof_e2e.log); 31 s of parity checking belongs in
+# the slow set, not the <3 min gate
 def test_spp_streams_matches_single_stream(cornell):
     """streams=K replicates lanes K times with per-stream sample offsets;
     it must draw the exact same (pixel, sample) RNG streams as streams=1 —

@@ -66,43 +66,46 @@ pix = (gy * W + gx).astype(jnp.uint32)
 res = (jnp.float32(W), jnp.float32(H))
 
 # ---- 1. capture ---------------------------------------------------------
-captured = []
-
-
-def _save(rox, roy, roz, rdx, rdy, rdz, act):
-    captured.append(
-        tuple(np.asarray(a) for a in (rox, roy, roz, rdx, rdy, rdz, act))
-    )
-
+# The integrator loop is Python-unrolled, so a monkeypatched
+# closest_hit_attrs sees every per-iteration ray state AT TRACE TIME.
+# Earlier versions shipped them out via jax.debug.callback(ordered=True),
+# which the axon remote-compile path rejects (3x "UNAVAILABLE: TPU backend
+# setup/compile error" at the same jit, out_hw/prof_iter{,2,3}.log) —
+# captured states are now RETURNED as stacked jit outputs instead.
+_traced = []
 
 real_cha = isx.closest_hit_attrs
 
 
 def capture_cha(sc, ro, rd, eps, W=None, active=None, coherent=True):
     act = active if active is not None else jnp.ones(ro.x.shape[0], bool)
-    jax.debug.callback(_save, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, act,
-                       ordered=True)
+    _traced.append((ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, act))
     return real_cha(sc, ro, rd, eps, W=W, active=active, coherent=coherent)
 
 
 def run_capture(sc):
+    del _traced[:]
     ctx = integrators.make_ctx(sc, jnp.float32(EPS))
     acc, n = integrators.pathtrace_spp(
         sc, ctx, pix, gx, gy, res, cam, False,
         jnp.uint32(1), jnp.uint32(0), SPP, int(PathtraceType.STANDARD),
         BOUNCES, jnp.float32(10.0),
     )
-    return acc.x + jnp.sum(n.astype(jnp.float32))
+    chk = acc.x + jnp.sum(n.astype(jnp.float32))
+    return chk, list(_traced)
 
 
 try:
     isx.closest_hit_attrs = capture_cha
     integrators.intersect.closest_hit_attrs = capture_cha
-    float(jnp.sum(jax.jit(run_capture)(tpu)))
+    chk, states = jax.jit(run_capture)(tpu)
+    float(jnp.sum(chk))
 finally:
     isx.closest_hit_attrs = real_cha
     integrators.intersect.closest_hit_attrs = real_cha
 
+captured = [tuple(np.asarray(a) for a in s) for s in states]
+del states
 print(f"captured {len(captured)} iteration states "
       f"(actives: {[int(s[6].sum()) for s in captured]})", flush=True)
 
