@@ -65,48 +65,23 @@ gy = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).reshape(-1).astype(jnp.int
 pix = (gy * W + gx).astype(jnp.uint32)
 res = (jnp.float32(W), jnp.float32(H))
 
-# ---- 1. capture ---------------------------------------------------------
-# The integrator loop is Python-unrolled, so a monkeypatched
-# closest_hit_attrs sees every per-iteration ray state AT TRACE TIME.
-# Earlier versions shipped them out via jax.debug.callback(ordered=True),
-# which the axon remote-compile path rejects (3x "UNAVAILABLE: TPU backend
-# setup/compile error" at the same jit, out_hw/prof_iter{,2,3}.log) —
-# captured states are now RETURNED as stacked jit outputs instead.
-_traced = []
-
-real_cha = isx.closest_hit_attrs
-
-
-def capture_cha(sc, ro, rd, eps, W=None, active=None, coherent=True):
-    act = active if active is not None else jnp.ones(ro.x.shape[0], bool)
-    _traced.append((ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, act))
-    return real_cha(sc, ro, rd, eps, W=W, active=active, coherent=coherent)
-
-
-def run_capture(sc):
-    del _traced[:]
-    ctx = integrators.make_ctx(sc, jnp.float32(EPS))
-    acc, n = integrators.pathtrace_spp(
-        sc, ctx, pix, gx, gy, res, cam, False,
-        jnp.uint32(1), jnp.uint32(0), SPP, int(PathtraceType.STANDARD),
-        BOUNCES, jnp.float32(10.0),
-    )
-    chk = acc.x + jnp.sum(n.astype(jnp.float32))
-    return chk, list(_traced)
-
-
-try:
-    isx.closest_hit_attrs = capture_cha
-    integrators.intersect.closest_hit_attrs = capture_cha
-    chk, states = jax.jit(run_capture)(tpu)
-    float(jnp.sum(chk))
-finally:
-    isx.closest_hit_attrs = real_cha
-    integrators.intersect.closest_hit_attrs = real_cha
-
-captured = [tuple(np.asarray(a) for a in s) for s in states]
-del states
-print(f"captured {len(captured)} iteration states "
+# ---- 1. load captured states ---------------------------------------------
+# Per-iteration ray states exist only at RUNTIME (pathtrace_spp's loop is
+# a lax.while_loop) and the runtime escape hatch, debug.callback, does not
+# compile on the axon remote-compile path (out_hw/prof_iter{3,4}.log) nor
+# can tracers from the loop body be returned (prof_iter6's
+# UnexpectedTracerError). tools/prof_iter_capture.py captures them on CPU
+# (same shading/RNG math); this tool replays them on the TPU.
+STATES = "out_hw/iter_states.npz"
+if not os.path.exists(STATES):
+    sys.exit(f"{STATES} missing — run tools/prof_iter_capture.py first "
+             "(CPU, ~10-20 min)")
+z = np.load(STATES)
+captured = [
+    tuple(z[k][i] for k in ("rox", "roy", "roz", "rdx", "rdy", "rdz", "act"))
+    for i in range(z["rox"].shape[0])
+]
+print(f"loaded {len(captured)} iteration states "
       f"(actives: {[int(s[6].sum()) for s in captured]})", flush=True)
 
 ctxW = integrators.make_ctx(tpu, jnp.float32(EPS))["W"]
